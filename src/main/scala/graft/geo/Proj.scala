@@ -1,0 +1,80 @@
+package graft.geo
+
+/** From-scratch projection math for the CRS pairs the reference actually
+  * uses (SURVEY.md P7; no proj4 jar exists in the sandbox):
+  *  - EPSG:4326 ↔ EPSG:3857 closed-form spherical Mercator
+  *    (reference hops for simplify/orthogonalise, coco2geojson.py:342-353);
+  *  - EPSG:4326 ↔ UTM via Transverse Mercator Krüger series
+  *    (reference area filter, coordinates.py:194-198);
+  *  - `estimateUtmZone` reproducing geopandas `estimate_utm_crs`: zone from
+  *    the layer bounds' centroid (coordinates.py:195).
+  * Pure double math — usable inside kernels and as column expressions.
+  */
+object Proj {
+
+  val R = 6378137.0 // WGS84 semi-major
+  val F = 1.0 / 298.257223563
+  val E2 = F * (2 - F) // first eccentricity²
+  val K0 = 0.9996 // UTM scale
+
+  // ---------- spherical Mercator (EPSG:3857) ----------
+
+  def mercatorX(lon: Double): Double = R * math.toRadians(lon)
+  def mercatorY(lat: Double): Double =
+    R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
+  def invMercatorLon(x: Double): Double = math.toDegrees(x / R)
+  def invMercatorLat(y: Double): Double =
+    math.toDegrees(2 * math.atan(math.exp(y / R)) - math.Pi / 2)
+
+  // ---------- UTM (Transverse Mercator, series to n^4) ----------
+
+  /** geopandas estimate_utm_crs rule: zone of the bounds centroid. */
+  def estimateUtmZone(lonMin: Double, latMin: Double, lonMax: Double, latMax: Double): (Int, Boolean) = {
+    val lon = (lonMin + lonMax) / 2; val lat = (latMin + latMax) / 2
+    (((lon + 180) / 6).toInt % 60 + 1, lat >= 0)
+  }
+
+  private val n = F / (2 - F)
+  private val A = R / (1 + n) * (1 + n * n / 4 + n * n * n * n / 64)
+  private val alpha = Array(
+    n / 2 - 2.0 / 3 * n * n + 5.0 / 16 * n * n * n,
+    13.0 / 48 * n * n - 3.0 / 5 * n * n * n,
+    61.0 / 240 * n * n * n)
+
+  /** Forward TM: (lat, lon) degrees → (easting, northing) meters for the
+    * given zone/hemisphere (standard Karney/Krüger series, ~1e-5 m). */
+  def utmForward(lat: Double, lon: Double, zone: Int, north: Boolean): (Double, Double) = {
+    val lon0 = math.toRadians(zone * 6 - 183)
+    val phi = math.toRadians(lat)
+    val dl = math.toRadians(lon) - lon0
+    val t = math.sinh(atanh(math.sin(phi)) - math.sqrt(E2) * atanh(math.sqrt(E2) * math.sin(phi)))
+    val xiP = math.atan2(t, math.cos(dl))
+    val etaP = atanh(math.sin(dl) / math.sqrt(1 + t * t))
+    var xi = xiP; var eta = etaP
+    for (j <- 1 to 3) {
+      xi += alpha(j - 1) * math.sin(2 * j * xiP) * math.cosh(2 * j * etaP)
+      eta += alpha(j - 1) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
+    }
+    val e = K0 * A * eta + 500000.0
+    val nn = K0 * A * xi + (if (north) 0.0 else 10000000.0)
+    (e, nn)
+  }
+
+  private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
+
+  /** Shoelace area of a lat/lon ring after projecting to its estimated UTM —
+    * the reference's area-filter semantics (coordinates.py:194-198). */
+  def utmRingArea(latLonFlat: Seq[Double]): Double = {
+    if (latLonFlat.length < 6) return 0.0
+    val lons = latLonFlat.grouped(2).map(_.head).toSeq
+    val lats = latLonFlat.grouped(2).map(_.last).toSeq
+    val (zone, north) = estimateUtmZone(lons.min, lats.min, lons.max, lats.max)
+    val pts = lons.zip(lats).map { case (lo, la) => utmForward(la, lo, zone, north) }
+    var s = 0.0
+    for (i <- pts.indices) {
+      val j = (i + 1) % pts.length
+      s += pts(i)._1 * pts(j)._2 - pts(j)._1 * pts(i)._2
+    }
+    math.abs(s) / 2
+  }
+}

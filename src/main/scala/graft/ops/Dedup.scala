@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for the training-data pipeline: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Hash functions are pure integer arithmetic
+  * over corpus vocab ids (not JVM string hashes), so every step is
+  * reproducible in the DuckDB oracle and across languages/engines.
+  *
+  * Scale notes: vocab assignment is a groupBy+window over distinct tokens
+  * (shuffle ∝ vocab size, not corpus size); MinHash signatures are one
+  * explode + hash-agg; LSH candidate generation is a self-equi-join on
+  * (band, bandkey) — never an all-pairs cross join.
+  */
+object Dedup {
+
+  val MersennePrime = 2147483647L // 2^31-1
+
+  /** Exact dedup: keep the minimum id per key, with duplicate count. */
+  def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(keyCol)
+      .agg(min(idCol).as("keeper"), count(lit(1)).as("n_dupes"))
+
+  /** Corpus vocabulary: distinct whitespace tokens with dense ids assigned
+    * in lexicographic order (deterministic, engine-portable). */
+  def vocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("token"))
+      .distinct()
+      .withColumn("vid", row_number().over(Window.orderBy("token")).cast("long") - 1)
+
+  /** Per-document distinct token vids: (id, vid). */
+  def docTokenVids(docs: DataFrame, idCol: String, textCol: String,
+                   voc: DataFrame): DataFrame =
+    docs.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("token"))
+      .distinct()
+      .join(broadcast(voc), "token")
+      .select("id", "vid")
+
+  /** MinHash signatures: numHashes universal-hash minima per doc.
+    * h_j(v) = (v*(2j+3) + j*7919) mod (2^31-1). Output (id, j, mh). */
+  def minhash(tokenVids: DataFrame, numHashes: Int): DataFrame =
+    tokenVids
+      .withColumn("j", explode(sequence(lit(0), lit(numHashes - 1))))
+      .withColumn("h", (col("vid") * (col("j") * 2L + 3L) + col("j") * 7919L) % MersennePrime)
+      .groupBy("id", "j").agg(min("h").as("mh"))
+
+  /** LSH candidate pairs from MinHash signatures with bands of 2 rows:
+    * band key packs the two minima collision-free into one Long. Output
+    * distinct (a, b) with a < b. */
+  def lshCandidates(signatures: DataFrame): DataFrame = {
+    val banded = signatures
+      .withColumn("band", (col("j") / 2).cast("int"))
+      .withColumn("slot", col("j") % 2)
+      .groupBy("id", "band")
+      .agg(min(when(col("slot") === 0, col("mh"))).as("m0"),
+        min(when(col("slot") === 1, col("mh"))).as("m1"))
+      .withColumn("bandkey", col("m0") * MersennePrime + col("m1"))
+      .select("id", "band", "bandkey")
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bandkey") === col("r.bandkey") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct word n-gram sets for given candidate pairs
+    * (or all same-key pairs when `candidates` is null). Exact rational:
+    * inter/(|A|+|B|-inter). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                   maxIdGap: Long): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("i", explode(sequence(lit(0), size(col("toks")) - n)))
+      .select(col("id"),
+        array_join(slice(col("toks"), col("i") + 1, lit(n)), " ").as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = grams.as("g1").join(grams.as("g2"),
+        col("g1.gram") === col("g2.gram") && col("g1.id") < col("g2.id") &&
+          col("g2.id") - col("g1.id") <= maxIdGap)
+      .groupBy(col("g1.id").as("a"), col("g2.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jacc", col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")).cast("double"))
+      .select("a", "b", "inter", "jacc")
+  }
+
+  /** 60-bit SimHash over distinct token vids (60 bits keeps the packed
+    * value positive in both engines). Bit k of token v =
+    * ((v*2654435761 + k*40503) >> 13) & 1; simhash bit k is 1 iff the
+    * majority of tokens set it (sum of ±1 votes > 0, ties → 0). */
+  def simhash(tokenVids: DataFrame): DataFrame =
+    tokenVids
+      .withColumn("k", explode(sequence(lit(0L), lit(59L))))
+      .withColumn("bit",
+        shiftright(col("vid") * 2654435761L + col("k") * 40503L, 13).bitwiseAND(lit(1L)))
+      .groupBy("id", "k")
+      .agg(sum(col("bit") * 2L - 1L).as("s"))
+      .groupBy("id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), cast(k as int))"))
+        .otherwise(0L)).as("simhash"))
+
+  /** Hamming distance between two packed simhash values — bit_count of xor. */
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.geo.{CellIndex, JtsGeo}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.locationtech.jts.geom.prep.PreparedGeometry
+import org.locationtech.jts.index.strtree.STRtree
+
+import scala.jdk.CollectionConverters._
+
+/** Cell-grid spatial joins (SURVEY.md §2.3 J1/J7, §4.1-2).
+  *
+  * Catalyst plans a theta predicate like `contains(poly, point)` as an
+  * O(n·m) BroadcastNestedLoopJoin, so every spatial join here is decomposed
+  * into an **equi-join on cell id** that Catalyst shuffles/broadcasts like
+  * any other key join, followed by an exact refine step:
+  *
+  * {{{ points ⋈ polys  ≡  encode(point) = explode(cellsCovering(env(poly))) , then refine }}}
+  *
+  * The point side carries exactly one cell and the polygon side is exploded
+  * over its covering cells, so each qualifying pair appears exactly once —
+  * no post-join dedup (and no extra shuffle for it).
+  *
+  * Refine paths:
+  *  - pure-arithmetic for boxes (whole-stage codegen, zero JTS),
+  *  - per-partition JTS with prepared-geometry cache for real polygons,
+  *  - broadcast STRtree (`pointInPolygonBroadcast`) when the polygon side
+  *    fits on one executor — the "broadcast-or-partitioned" pair the
+  *    north_star names.
+  */
+object SpatialJoins {
+
+  /** Point-in-box join, arithmetic refine (half-open: min ≤ p < max).
+    * `points` must have (`x`,`y`) columns; `boxes` (`xmin`,`ymin`,`xmax`,`ymax`).
+    */
+  def pointInBox(points: DataFrame, boxes: DataFrame, ci: CellIndex, level: Int): DataFrame = {
+    val p = points.withColumn("_cell", ci.encodeCol(col("x"), col("y"), level))
+    val b = boxes.withColumn("_cell",
+      explode(ci.cellsCoveringCol(col("xmin"), col("ymin"), col("xmax"), col("ymax"), level)))
+    p.join(b, "_cell")
+      .where(col("xmin") <= col("x") && col("x") < col("xmax") &&
+             col("ymin") <= col("y") && col("y") < col("ymax"))
+      .drop("_cell")
+  }
+
+  /** Point-in-polygon with partitioned refine. `polys` carries
+    * (`poly_id`:long, `wkb`:binary, `xmin`,`ymin`,`xmax`,`ymax`). Output:
+    * point columns + `poly_id`. The equi-join shuffles both sides by cell;
+    * refine parses each polygon once per task (keyed cache of prepared
+    * geometries) — the partitioned arm for when neither side broadcasts. */
+  def pointInPolygon(points: DataFrame, polys: DataFrame, ci: CellIndex, level: Int): DataFrame = {
+    val p = points.withColumn("_cell", ci.encodeCol(col("x"), col("y"), level))
+    val b = polys
+      .withColumn("_cell",
+        explode(ci.cellsCoveringCol(col("xmin"), col("ymin"), col("xmax"), col("ymax"), level)))
+      .select(col("_cell"), col("poly_id"), col("wkb"))
+    val joined = p.join(b, "_cell").drop("_cell")
+
+    val outSchema = StructType(joined.schema.filterNot(f => f.name == "wkb"))
+    val xI = joined.schema.fieldIndex("x"); val yI = joined.schema.fieldIndex("y")
+    val wI = joined.schema.fieldIndex("wkb"); val idI = joined.schema.fieldIndex("poly_id")
+    val keep = joined.schema.indices.filterNot(_ == wI)
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    joined.mapPartitions { it =>
+      val cache = new java.util.HashMap[Long, PreparedGeometry]()
+      it.filter { r =>
+        val pg = cache.computeIfAbsent(r.getLong(idI),
+          _ => JtsGeo.prepare(JtsGeo.fromWkb(r.getAs[Array[Byte]](wI))))
+        pg.covers(JtsGeo.point(r.getDouble(xI), r.getDouble(yI)))
+      }.map(r => Row.fromSeq(keep.map(r.get)))
+    }
+  }
+
+  /** Point-in-polygon with the polygon side broadcast and an STRtree probed
+    * per partition — no shuffle of the point side at all. Preferred when the
+    * polygon layer is a dim-table (tile layers, zone layers). */
+  def pointInPolygonBroadcast(points: DataFrame, polys: DataFrame): DataFrame = {
+    val spark = points.sparkSession
+    val polyRows = polys.select("poly_id", "wkb").collect()
+    val bc = spark.sparkContext.broadcast(polyRows.map(r =>
+      (r.getLong(0), r.getAs[Array[Byte]](1))))
+
+    val outSchema = points.schema.add("poly_id", LongType, nullable = false)
+    val xI = points.schema.fieldIndex("x"); val yI = points.schema.fieldIndex("y")
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    points.mapPartitions { it =>
+      val tree = new STRtree()
+      val prepared = bc.value.map { case (id, wkb) =>
+        val g = JtsGeo.fromWkb(wkb)
+        tree.insert(g.getEnvelopeInternal, (id, JtsGeo.prepare(g)))
+        id -> g
+      }
+      if (prepared.nonEmpty) tree.build()
+      it.flatMap { r =>
+        val pt = JtsGeo.point(r.getDouble(xI), r.getDouble(yI))
+        tree.query(pt.getEnvelopeInternal).asScala.iterator
+          .map(_.asInstanceOf[(Long, PreparedGeometry)])
+          .filter(_._2.covers(pt))
+          .map { case (id, _) => Row.fromSeq(r.toSeq :+ id) }
+      }
+    }
+  }
+
+  /** Envelope-intersects range join (reference J7, batch_geojson2coco.py:118)
+    * via the same cell decomposition. Both sides carry envelopes; the left
+    * side's cover is exploded, the right side joins on its own cover — pairs
+    * dedup on the *smallest common cell* trick: a pair is emitted only from
+    * the cell containing the left envelope's min corner if that cell is in
+    * the right cover, else kept distinct. Simpler and still single-emission:
+    * emit from the cell of max(leftMin, rightMin) corner. */
+  def envelopeJoin(left: DataFrame, right: DataFrame, ci: CellIndex, level: Int): DataFrame = {
+    val l = left.withColumn("_cell",
+      explode(ci.cellsCoveringCol(col("lxmin"), col("lymin"), col("lxmax"), col("lymax"), level)))
+    val r = right.withColumn("_cell",
+      explode(ci.cellsCoveringCol(col("rxmin"), col("rymin"), col("rxmax"), col("rymax"), level)))
+    l.join(r, "_cell")
+      .where(col("lxmin") <= col("rxmax") && col("rxmin") <= col("lxmax") &&
+             col("lymin") <= col("rymax") && col("rymin") <= col("lymax"))
+      // single-emission guard: keep the pair only in the cell that contains
+      // the intersection's min corner — every intersecting pair has exactly
+      // one such cell, so no distinct() shuffle is needed.
+      .where(col("_cell") === ci.encodeCol(
+        greatest(col("lxmin"), col("rxmin")), greatest(col("lymin"), col("rymin")), level))
+      .drop("_cell")
+  }
+}

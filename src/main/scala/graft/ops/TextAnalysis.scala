@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline (builder brief):
+  * token counting, substring frequency, quality scoring, language ID,
+  * document fingerprinting. All pure column expressions (whole-stage
+  * codegen; no UDF), with integer/exact-rational outputs so the DuckDB
+  * oracle hashes identically.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Occurrences of `sub` by the length-difference trick (same trick is
+    * SQL-portable to the oracle). Counts overlapping-free left-to-right
+    * matches, substring-level (may match inside words — deterministic). */
+  def substrCount(text: Column, sub: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(sub), ""))) /
+      sub.length).cast("long")
+
+  /** Quality metrics: exact ints + single-division rationals. */
+  def qualityCols(text: Column): Seq[(String, Column)] = {
+    val nTok = tokenCount(text).cast("long")
+    val nChars = length(text).cast("long")
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTok,
+      // mean token length: (chars - separators) / tokens, one exact division
+      "mean_tok_len" -> ((nChars - (nTok - 1)).cast("double") / nTok.cast("double")),
+      "stopword_cnt" -> substrCount(text, "the"),
+      "digit_cnt" -> (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long"))
+  }
+
+  /** Toy n-gram-marker language ID: count marker tokens per language,
+    * argmax with a fixed precedence order (deterministic; SQL-portable). */
+  def langId(text: Column): Column = {
+    val en = substrCount(text, "the")
+    val q = substrCount(text, "query")
+    val d = substrCount(text, "data")
+    when(en >= q && en >= d, "en").when(q >= d, "qlang").otherwise("dlang")
+  }
+
+  /** 64-bit polynomial rolling fingerprint over token vocab-ids (needs a
+    * `vid` column from [[Dedup.vocab]]); order-sensitive: fold left with
+    * multiplier 31 in the Long ring. Column form over an array of vids. */
+  def fingerprint(vids: Column): Column =
+    aggregate(vids, lit(1125899906842597L),
+      (acc, v) => acc * 31L + v)
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.io.WebPages
+import graft.ops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline text operators (builder brief): token counting,
+  * quality scoring, language ID, exact dedup, n-gram Jaccard, MinHash/LSH,
+  * SimHash, and the UDF-free byte-identical text-extraction invariant. All
+  * hashes are integer arithmetic over lexicographic vocab ids — fully
+  * reproducible in the DuckDB oracle. */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q22_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q23_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cols = TextAnalysis.qualityCols(col("text")).map { case (n, c) => c.as(n) }
+      d.select(col("doc_id") +: cols: _*).orderBy("doc_id")
+    }),
+
+    "q24_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q25_dedup_exact" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .withColumn("key", array_join(slice(split(col("text"), " "), 1, 3), " "))
+      Dedup.exact(keyed, "doc_id", "key").orderBy("key")
+    }),
+
+    "q26_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", 3, 25)
+        .orderBy("a", "b")
+    }),
+
+    "q27_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val voc = Dedup.vocab(docs, "text")
+      val tv = Dedup.docTokenVids(docs, "doc_id", "text", voc)
+      Dedup.minhash(tv, 8)
+        .withColumn("band", (col("j") / 2).cast("int"))
+        .withColumn("slot", col("j") % 2)
+        .groupBy("id", "band")
+        .agg(min(when(col("slot") === 0, col("mh"))).as("m0"),
+          min(when(col("slot") === 1, col("mh"))).as("m1"))
+        .select(col("id").as("doc_id"), col("band"),
+          (col("m0") * Dedup.MersennePrime + col("m1")).as("bandkey"))
+        .orderBy("doc_id", "band")
+    }),
+
+    "q28_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val voc = Dedup.vocab(docs, "text")
+      val tv = Dedup.docTokenVids(docs, "doc_id", "text", voc)
+      Dedup.simhash(tv).select(col("id").as("doc_id"), col("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // P20 / input_hint invariant: byte-identical extracted text per url,
+    // over the synthetic web-page table (UDF-free decode + regexp chain)
+    "q29_extract_text" -> ((s, dir) => {
+      WebPages.pages(s, 500, 8)
+        .select(col("url"), col("text"), col("lang"),
+          (encode(WebPages.extractedText(col("html")), "UTF-8") ===
+            encode(col("text"), "UTF-8")).as("ok"))
+        .orderBy("url")
+    })
+  )
+
+  private val tvSql =
+    """toks AS (SELECT DISTINCT doc_id, token FROM
+         (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)),
+       voc AS (SELECT token,
+           CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS vid
+         FROM (SELECT DISTINCT token FROM toks)),
+       tv AS (SELECT doc_id, vid FROM toks JOIN voc USING(token))"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q22_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "q23_quality" ->
+      """SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE) /
+             CAST(len(string_split(text,' ')) AS DOUBLE) AS mean_tok_len,
+           CAST((length(text) - length(replace(text,'the','')))/3 AS BIGINT) AS stopword_cnt,
+           CAST(length(text) - length(regexp_replace(text,'[0-9]','','g')) AS BIGINT) AS digit_cnt
+         FROM documents ORDER BY doc_id""",
+    "q24_langid" ->
+      """SELECT doc_id, CASE
+           WHEN (length(text)-length(replace(text,'the','')))/3 >= (length(text)-length(replace(text,'query','')))/5
+            AND (length(text)-length(replace(text,'the','')))/3 >= (length(text)-length(replace(text,'data','')))/4
+           THEN 'en'
+           WHEN (length(text)-length(replace(text,'query','')))/5 >= (length(text)-length(replace(text,'data','')))/4
+           THEN 'qlang' ELSE 'dlang' END AS lang_pred
+         FROM documents ORDER BY doc_id""",
+    "q25_dedup_exact" ->
+      """SELECT key, min(doc_id) AS keeper, count(*) AS n_dupes FROM
+         (SELECT doc_id, array_to_string((string_split(text,' '))[1:3], ' ') AS key
+          FROM documents) GROUP BY key ORDER BY key""",
+    "q26_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+         grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2],' ') AS gram
+           FROM toks, unnest(generate_series(1, len(ts)-2)) AS u(i)),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+         inter AS (SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS inter
+           FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram
+             AND g1.doc_id < g2.doc_id AND g2.doc_id - g1.doc_id <= 25
+           GROUP BY 1,2)
+         SELECT a, b, inter,
+           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jacc
+         FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         ORDER BY a, b""",
+    "q27_minhash" ->
+      s"""WITH $tvSql,
+         mh AS (SELECT doc_id, j, min((vid*(2*j+3) + j*7919) % 2147483647) AS mh
+           FROM tv, unnest(generate_series(0,7)) AS g(j) GROUP BY 1,2)
+         SELECT doc_id, CAST(j//2 AS INTEGER) AS band,
+           min(CASE WHEN j%2=0 THEN mh END) * 2147483647 +
+           min(CASE WHEN j%2=1 THEN mh END) AS bandkey
+         FROM mh GROUP BY doc_id, j//2 ORDER BY doc_id, band""",
+    "q28_simhash" ->
+      s"""WITH $tvSql,
+         votes AS (SELECT doc_id, k,
+             sum(2*(((vid*2654435761 + k*40503) >> 13) & 1) - 1) AS s
+           FROM tv, unnest(generate_series(0,59)) AS g(k) GROUP BY 1,2)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
+         FROM votes GROUP BY doc_id ORDER BY doc_id""",
+    "q29_extract_text" -> {
+      val words = WebPages.Words.map(w => s"'$w'").mkString("[", ",", "]")
+      val langs = WebPages.Langs.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""SELECT 'https://example.org/p/' || id AS url,
+           array_to_string(
+             [ ($words)[CAST((id*7919 + i*104729)%32 + 1 AS INTEGER)]
+               for i in range(0, CAST(5 + id%20 AS INTEGER)) ], ' ') AS text,
+           ($langs)[CAST(id%5 + 1 AS INTEGER)] AS lang,
+           TRUE AS ok
+         FROM (SELECT range AS id FROM range(500)) ORDER BY url"""
+    }
+  )
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.geo.CellIndex
+import graft.io.WebPages
+import graft.ops.SpatialJoins
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the optimizations SURVEY.md §4 promises must be
+  * visible in `explain` output, not just hoped for. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan") {
+    val df = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
+      .where(col("l_quantity") > 40.0)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)"),
+      s"no pushed filter in: $scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"column pruning missing: $scan")
+  }
+
+  test("dim-table join broadcasts (no shuffle of the fact side)") {
+    val orders = spark.read.parquet(s"${sf("sf0.001")}/orders.parquet")
+    val customer = spark.read.parquet(s"${sf("sf0.001")}/customer.parquet")
+    val p = plan(orders.join(broadcast(customer),
+      col("o_custkey") === col("c_custkey")))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("pointInBox plans as an equi-join (hash/SMJ), never nested-loop") {
+    val pts = WebPages.features(WebPages.pages(spark, 100, 2))
+    val zones = WebPages.zones(spark, 8).drop("wkb")
+    val p = plan(SpatialJoins.pointInBox(pts, zones, CellIndex.Unit20, 5))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"theta-join fallback detected:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("flagship query keeps whole-stage codegen around the join/agg") {
+    val p = plan(SparkEntry.entry(spark))
+    assert(p.contains("WholeStageCodegen"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("cell encode compiles to pure built-in expressions (no UDF in plan)") {
+    val pts = WebPages.features(WebPages.pages(spark, 10, 1))
+    val df = pts.select(CellIndex.Unit20.encodeCol(col("x"), col("y"), 10))
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.toLowerCase.contains("udf"), analyzed)
+  }
+}

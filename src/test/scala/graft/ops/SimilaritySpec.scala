@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  /** deterministic clustered embeddings: 10 clusters × 20 members, member =
+    * cluster base + small deterministic perturbation. */
+  lazy val emb = {
+    val spark2 = spark
+    import spark2.implicits._
+    (0 until 200).map { i =>
+      val c = i % 10
+      val v = Array.tabulate(16) { d =>
+        val base = math.sin(c * 16 + d + 1).toFloat
+        val pert = (((i * 16 + d) * 2654435761L % 1000L) / 10000.0f) - 0.05f
+        base + pert
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  def bruteTopK(k: Int): Map[Long, Seq[Long]] = {
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    rows.map { case (q, qv) =>
+      val qn = math.sqrt(qv.map(x => x.toDouble * x).sum)
+      q -> rows.filter(_._1 != q).map { case (p, pv) =>
+        val dot = qv.zip(pv).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        val pn = math.sqrt(pv.map(x => x.toDouble * x).sum)
+        (p, dot / (qn * pn))
+      }.sortBy { case (p, c) => (-c, p) }.take(k).map(_._1).toSeq
+    }.toMap
+  }
+
+  test("cosineTopK matches brute force (ids and ranks)") {
+    val got = Similarity.cosineTopK(emb, "vec_id", "embedding", 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val expect = bruteTopK(3)
+    got.foreach { case (q, ids) => assert(ids == expect(q), s"query $q") }
+    assert(got.size == 200)
+  }
+
+  test("annLsh recall@3 is high on clustered data") {
+    val got = Similarity.annLsh(emb, "vec_id", "embedding", 3, nPlanes = 6)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val expect = bruteTopK(3)
+    val recalls = expect.toSeq.map { case (q, ids) =>
+      got.get(q).map(g => ids.count(g.contains).toDouble / ids.size).getOrElse(0.0)
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.5, s"mean recall@3 = $recall")
+  }
+
+  test("dot/norm column functions match scala") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val r = df.select(Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.norm(col("a")).as("n")).head
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == math.sqrt(14.0))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.geo.CellIndex
+import graft.io.WebPages
+import org.apache.spark.sql.functions._
+
+class SpatialJoinsSpec extends SparkSpec {
+  lazy val ci = CellIndex.Unit20
+
+  lazy val pages = WebPages.pages(spark, 2000, 8)
+  lazy val pts = WebPages.features(pages).select(col("id") * 10 + col("f") as "pid", col("x"), col("y"))
+  lazy val zones = WebPages.zones(spark, 64)
+
+  /** brute-force oracle: nested-loop PIP on collected rows */
+  lazy val expected: Set[(Long, Long)] = {
+    val ps = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val zs = zones.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    (for {
+      (pid, x, y) <- ps
+      (zid, x0, y0, x1, y1) <- zs
+      if x0 <= x && x < x1 && y0 <= y && y < y1
+    } yield (pid, zid)).toSet
+  }
+
+  test("pointInBox matches brute-force oracle at several levels") {
+    for (level <- Seq(3, 5, 8)) {
+      val got = SpatialJoins.pointInBox(pts, zones.drop("wkb"), ci, level)
+        .select("pid", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"level=$level")
+    }
+    assert(expected.nonEmpty)
+  }
+
+  test("pointInBox emits each qualifying pair exactly once (no dedup shuffle needed)") {
+    val got = SpatialJoins.pointInBox(pts, zones.drop("wkb"), ci, 5)
+      .groupBy("pid", "poly_id").count().where(col("count") > 1)
+    assert(got.isEmpty)
+  }
+
+  test("pointInPolygon (partitioned JTS refine) matches oracle") {
+    // JTS covers() is closed on the boundary; the arithmetic oracle is
+    // half-open — integer-lattice points land on box edges with prob ~1e-5;
+    // compare against a closed-predicate oracle instead.
+    val ps = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val zs = zones.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val closed = (for {
+      (pid, x, y) <- ps; (zid, x0, y0, x1, y1) <- zs
+      if x0 <= x && x <= x1 && y0 <= y && y <= y1
+    } yield (pid, zid)).toSet
+    val got = SpatialJoins.pointInPolygon(pts, zones, ci, 5)
+      .select("pid", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == closed)
+  }
+
+  test("pointInPolygonBroadcast matches the partitioned path") {
+    val a = SpatialJoins.pointInPolygon(pts, zones, ci, 5)
+      .select("pid", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = SpatialJoins.pointInPolygonBroadcast(pts, zones)
+      .select("pid", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("envelopeJoin matches brute-force intersects, one row per pair") {
+    val left = zones.select(col("poly_id").as("lid"), col("xmin").as("lxmin"),
+      col("ymin").as("lymin"), col("xmax").as("lxmax"), col("ymax").as("lymax"))
+    val right = zones.select(col("poly_id").as("rid"), col("xmin").as("rxmin"),
+      col("ymin").as("rymin"), col("xmax").as("rxmax"), col("ymax").as("rymax"))
+    val got = SpatialJoins.envelopeJoin(left, right, ci, 5)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val zs = zones.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val expect = (for {
+      (a, ax0, ay0, ax1, ay1) <- zs; (b, bx0, by0, bx1, by1) <- zs
+      if ax0 <= bx1 && bx0 <= ax1 && ay0 <= by1 && by0 <= ay1
+    } yield (a, b)).toSet
+    assert(got.length == got.toSet.size, "duplicate pair emission")
+    assert(got.toSet == expect)
+  }
+}
