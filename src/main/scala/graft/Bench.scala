@@ -18,7 +18,7 @@ object Bench {
     val ci = CellIndex.Unit20
     val feats = WebPages.features(WebPages.pages(spark, nPages, 64))
     val zones = WebPages.zones(spark, nZones).drop("wkb")
-    val joined = SpatialJoins.pointInBox(feats, zones, ci, level)
+    val joined = SpatialJoins.pointInBox(feats, zones, ci, level, broadcastBoxes = true)
       .withColumn("tile_id", ci.encodeCol(col("x"), col("y"), level))
       .groupBy("tile_id", "poly_id").agg(count(lit(1)).as("n"))
     val resultRows = joined.count()

@@ -21,7 +21,7 @@ object SparkEntry {
     val pages = WebPages.pages(spark, 5000, 8)
     val feats = WebPages.features(pages)
     val zones = WebPages.zones(spark, 64).drop("wkb")
-    SpatialJoins.pointInBox(feats, zones, ci, 5)
+    SpatialJoins.pointInBox(feats, zones, ci, 5, broadcastBoxes = true)
       .withColumn("tile_id", ci.encodeCol(col("x"), col("y"), 5))
       .groupBy("tile_id", "poly_id")
       .agg(count(lit(1)).as("n"))

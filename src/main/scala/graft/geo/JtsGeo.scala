@@ -19,6 +19,12 @@ import scala.jdk.CollectionConverters._
   */
 object JtsGeo {
 
+  // Use OverlayNG for all Geometry overlay ops — matches GEOS ≥3.9 (what the
+  // reference's shapely 2 calls), and survives degenerate inputs the legacy
+  // overlay throws TopologyException on. Must be set before GeometryOverlay
+  // is initialized.
+  System.setProperty("jts.overlay", "ng")
+
   val factory = new GeometryFactory(new PrecisionModel(), 0)
 
   // thread-confined codecs
@@ -60,7 +66,11 @@ object JtsGeo {
   /** Clip to a tile box, reference `gpd.clip` semantics (coordinates.py:184-191):
     * intersection, drop empties/non-areal, explode multiparts. */
   def clipToBox(g: Geometry, bx: Polygon): Seq[Polygon] = {
-    val inter = g.intersection(bx)
+    val inter =
+      try g.intersection(bx)
+      catch { case _: org.locationtech.jts.geom.TopologyException =>
+        makeValid(g).intersection(bx)
+      }
     explodePolygons(inter)
   }
 

@@ -1,0 +1,142 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.util.Try
+
+/** Iceberg-emulation table layer (SURVEY.md §4.6, S9, O9). No Iceberg jar
+  * exists in the offline sandbox, so the engine provides the same contract
+  * on plain parquet + JSON manifests, with the layout chosen so a real
+  * Iceberg catalog can adopt the data files unchanged outside the sandbox:
+  *
+  * {{{
+  *   <root>/<table>/data/snap-<id>/part-*.parquet   — immutable snapshot data
+  *   <root>/<table>/_meta/snap-<id>.json            — manifest: rows, stats
+  *   <root>/_lineage/                               — per-stage metrics rows
+  *   <root>/_checkpoints/                           — completed-stage marks
+  * }}}
+  *
+  * Capabilities the north_rule names:
+  *  - snapshot append + time-travel read (`asOf`),
+  *  - per-snapshot min/max column stats → snapshot pruning on read,
+  *  - per-partition lineage metrics (rows/bytes) for every stage,
+  *  - checkpointed, idempotent, resumable stages (`runStage` skips work whose
+  *    snapshot already exists — the reference's resume() rescans output dirs,
+  *    batch_geojson2coco.py:40-64).
+  */
+final class Lake(val root: String, spark: SparkSession) {
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def metaDir(table: String) = new Path(s"$root/$table/_meta")
+  private def dataDir(table: String, snap: Long) = s"$root/$table/data/snap-$snap"
+
+  // ---------- snapshots ----------
+
+  def snapshotIds(table: String): Seq[Long] = {
+    val dir = metaDir(table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case s if s.startsWith("snap-") && s.endsWith(".json") =>
+        s.stripPrefix("snap-").stripSuffix(".json").toLong
+      }.sorted.toSeq
+  }
+
+  /** Append `df` as a new immutable snapshot; records row count and min/max
+    * stats for `statsCols` in the manifest. Returns the snapshot id. */
+  def writeSnapshot(df: DataFrame, table: String, statsCols: Seq[String] = Seq.empty): Long = {
+    val snap = snapshotIds(table).lastOption.getOrElse(-1L) + 1
+    val dir = dataDir(table, snap)
+    df.write.mode("errorifexists").parquet(dir)
+    val written = spark.read.parquet(dir)
+    val rows = written.count()
+    val stats = statsCols.flatMap { c =>
+      val r = written.agg(min(col(c)).cast("string"), max(col(c)).cast("string")).head()
+      if (r.isNullAt(0)) None else Some(c -> (r.getString(0), r.getString(1)))
+    }
+    val statsJson = stats.map { case (c, (lo, hi)) =>
+      s""""$c":{"min":${jstr(lo)},"max":${jstr(hi)}}"""
+    }.mkString("{", ",", "}")
+    val manifest =
+      s"""{"snapshot":$snap,"table":${jstr(table)},"rows":$rows,"stats":$statsJson}"""
+    val out = fs.create(new Path(metaDir(table), s"snap-$snap.json"), false)
+    out.write(manifest.getBytes("UTF-8")); out.close()
+    snap
+  }
+
+  private def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  def manifest(table: String, snap: Long): String = {
+    val in = fs.open(new Path(metaDir(table), s"snap-$snap.json"))
+    val bytes = org.apache.commons.io.IOUtils.toByteArray(in); in.close()
+    new String(bytes, "UTF-8")
+  }
+
+  /** Read the table as of snapshot `asOf` (inclusive; default latest).
+    * `prune` is an optional (col, lo, hi) predicate evaluated against the
+    * manifests' min/max stats — snapshots that cannot match are never
+    * scanned (the partition-pruning analog, SURVEY.md §4 J7). */
+  def readTable(table: String, asOf: Long = Long.MaxValue,
+                prune: Option[(String, String, String)] = None): DataFrame = {
+    val snaps0 = snapshotIds(table).filter(_ <= asOf)
+    val snaps = prune match {
+      case None => snaps0
+      case Some((c, lo, hi)) => snaps0.filter { s =>
+        val m = manifest(table, s)
+        val stat = s""""$c":\\{"min":"([^"]*)","max":"([^"]*)"\\}""".r
+        stat.findFirstMatchIn(m) match {
+          case Some(g) => g.group(1) <= hi && g.group(2) >= lo
+          case None => true
+        }
+      }
+    }
+    if (snaps.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(snaps.map(dataDir(table, _)): _*)
+  }
+
+  // ---------- lineage ----------
+
+  /** Append per-partition metrics for a stage (north_rule lineage). */
+  def recordLineage(jobId: String, stage: String, df: DataFrame): Unit = {
+    import spark.implicits._
+    val rowsPerPartition = df
+      .groupBy(spark_partition_id().as("partitionId"))
+      .agg(count(lit(1)).as("rows"))
+      .withColumn("jobId", lit(jobId))
+      .withColumn("stage", lit(stage))
+    rowsPerPartition.write.mode("append").parquet(s"$root/_lineage")
+  }
+
+  def lineage(): DataFrame =
+    if (fs.exists(new Path(s"$root/_lineage"))) spark.read.parquet(s"$root/_lineage")
+    else spark.emptyDataFrame
+
+  // ---------- checkpoint / resume ----------
+
+  def completedStages(jobId: String): Set[String] = {
+    val p = new Path(s"$root/_checkpoints/$jobId")
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSet
+  }
+
+  def markComplete(jobId: String, stage: String): Unit =
+    fs.create(new Path(s"$root/_checkpoints/$jobId/$stage"), true).close()
+
+  /** Idempotent stage execution: if `stage` completed for `jobId`, read its
+    * snapshot back instead of recomputing (kill-and-resume equivalence —
+    * O9). The body must be deterministic for exact resume semantics. */
+  def runStage(jobId: String, stage: String)(body: => DataFrame): DataFrame = {
+    val table = s"$jobId/$stage"
+    if (completedStages(jobId).contains(stage)) {
+      readTable(table)
+    } else {
+      val df = body
+      writeSnapshot(df, table)
+      recordLineage(jobId, stage, df)
+      markComplete(jobId, stage)
+      readTable(table)
+    }
+  }
+}

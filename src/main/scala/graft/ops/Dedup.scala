@@ -39,11 +39,17 @@ object Dedup {
       .select("id", "vid")
 
   /** MinHash signatures: numHashes universal-hash minima per doc.
-    * h_j(v) = (v*(2j+3) + j*7919) mod (2^31-1). Output (id, j, mh). */
+    * h_j(v) = ((v+1)·(2654435761 + 2j) + j·7919) mod (2^31−1).
+    * Two traps this form avoids (both found by the planted-pair spec):
+    * the multiplier must exceed the modulus so products wrap (a small one
+    * keeps the map order-preserving → MinHash degrades to "hash of the
+    * smallest vid"), and v=0 must not be a fixed point (v+1 shift) — else
+    * every doc containing vocab id 0 shares one signature. Output (id,j,mh). */
   def minhash(tokenVids: DataFrame, numHashes: Int): DataFrame =
     tokenVids
       .withColumn("j", explode(sequence(lit(0), lit(numHashes - 1))))
-      .withColumn("h", (col("vid") * (col("j") * 2L + 3L) + col("j") * 7919L) % MersennePrime)
+      .withColumn("h",
+        ((col("vid") + 1L) * (lit(2654435761L) + col("j") * 2L) + col("j") * 7919L) % MersennePrime)
       .groupBy("id", "j").agg(min("h").as("mh"))
 
   /** LSH candidate pairs from MinHash signatures with bands of 2 rows:
@@ -58,10 +64,13 @@ object Dedup {
         min(when(col("slot") === 1, col("mh"))).as("m1"))
       .withColumn("bandkey", col("m0") * MersennePrime + col("m1"))
       .select("id", "band", "bandkey")
-    banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bandkey") === col("r.bandkey") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("a"), col("r.id").as("b"))
+    // rename columns on an independent projection — self-join on the same
+    // lineage silently mis-resolves `l.id < r.id` to one side
+    val left = banded.select(col("id").as("a"), col("band"), col("bandkey"))
+    val right = banded.select(col("id").as("b"), col("band"), col("bandkey"))
+    left.join(right, Seq("band", "bandkey"))
+      .where(col("a") < col("b"))
+      .select("a", "b")
       .distinct()
   }
 

@@ -65,7 +65,7 @@ object Similarity {
   def annLsh(emb: DataFrame, idCol: String, vecCol: String, k: Int, nPlanes: Int): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
-      .withColumn("sig", srpSignature(col(vecCol), nPlanes))
+      .withColumn("sig", srpSignature(col("v"), nPlanes))
     val pairs = e.as("a").join(e.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("qid"), col("b.id").as("pid"),

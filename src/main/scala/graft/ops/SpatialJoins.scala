@@ -33,11 +33,16 @@ object SpatialJoins {
 
   /** Point-in-box join, arithmetic refine (half-open: min ≤ p < max).
     * `points` must have (`x`,`y`) columns; `boxes` (`xmin`,`ymin`,`xmax`,`ymax`).
-    */
-  def pointInBox(points: DataFrame, boxes: DataFrame, ci: CellIndex, level: Int): DataFrame = {
+    * With `broadcastBoxes` the exploded cover side is broadcast — the point
+    * side is then never shuffled at all (explode inflates the box side past
+    * Catalyst's auto-broadcast estimate, so the hint is explicit). Use when
+    * the zone layer is dim-table-sized; leave false for layer×layer joins. */
+  def pointInBox(points: DataFrame, boxes: DataFrame, ci: CellIndex, level: Int,
+                 broadcastBoxes: Boolean = false): DataFrame = {
     val p = points.withColumn("_cell", ci.encodeCol(col("x"), col("y"), level))
-    val b = boxes.withColumn("_cell",
+    val b0 = boxes.withColumn("_cell",
       explode(ci.cellsCoveringCol(col("xmin"), col("ymin"), col("xmax"), col("ymax"), level)))
+    val b = if (broadcastBoxes) broadcast(b0) else b0
     p.join(b, "_cell")
       .where(col("xmin") <= col("x") && col("x") < col("xmax") &&
              col("ymin") <= col("y") && col("y") < col("ymax"))
@@ -100,6 +105,36 @@ object SpatialJoins {
           .map { case (id, _) => Row.fromSeq(r.toSeq :+ id) }
       }
     }
+  }
+
+  /** Skew-aware point-in-box (north_rule "salted repartitioning + adaptive
+    * cell splitting"): a cheap stats pass finds hot cells (> `hotThreshold`
+    * points); points in hot cells get a salt from their coordinates, and the
+    * box side replicates its cover rows `salt`-ways for hot cells only —
+    * identical output to [[pointInBox]] (verified in the spec), but a
+    * point-mass cell now spreads over `saltFactor` reducers instead of one.
+    * Residual equi-join skew is additionally covered by AQE's skew-join. */
+  def pointInBoxSalted(points: DataFrame, boxes: DataFrame, ci: CellIndex, level: Int,
+                       hotThreshold: Long = 2000000L, saltFactor: Int = 16): DataFrame = {
+    val p0 = points.withColumn("_cell", ci.encodeCol(col("x"), col("y"), level))
+    val hot = p0.groupBy("_cell").count().where(col("count") > hotThreshold)
+      .select(col("_cell"), lit(true).as("_hot"))
+    val p = p0.join(broadcast(hot), Seq("_cell"), "left")
+      .withColumn("_salt",
+        when(col("_hot").isNotNull,
+          pmod(hash(col("x"), col("y")), lit(saltFactor))).otherwise(lit(0)))
+      .drop("_hot")
+    val b0 = boxes.withColumn("_cell",
+      explode(ci.cellsCoveringCol(col("xmin"), col("ymin"), col("xmax"), col("ymax"), level)))
+    val b = b0.join(broadcast(hot), Seq("_cell"), "left")
+      .withColumn("_salt", explode(
+        when(col("_hot").isNotNull, sequence(lit(0), lit(saltFactor - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("_hot")
+    p.join(b, Seq("_cell", "_salt"))
+      .where(col("xmin") <= col("x") && col("x") < col("xmax") &&
+             col("ymin") <= col("y") && col("y") < col("ymax"))
+      .drop("_cell", "_salt")
   }
 
   /** Envelope-intersects range join (reference J7, batch_geojson2coco.py:118)

@@ -45,10 +45,12 @@ object TextAnalysis {
     when(en >= q && en >= d, "en").when(q >= d, "qlang").otherwise("dlang")
   }
 
-  /** 64-bit polynomial rolling fingerprint over token vocab-ids (needs a
-    * `vid` column from [[Dedup.vocab]]); order-sensitive: fold left with
-    * multiplier 31 in the Long ring. Column form over an array of vids. */
+  /** Polynomial rolling fingerprint over token vocab-ids (needs a `vid`
+    * column from [[Dedup.vocab]]); order-sensitive left fold with multiplier
+    * 31 in the ring mod 2^56 — staying well under Long range because Spark 4
+    * runs ANSI mode (overflow throws, no silent wrap). */
+  val FingerprintMod = 1L << 56
   def fingerprint(vids: Column): Column =
-    aggregate(vids, lit(1125899906842597L),
-      (acc, v) => acc * 31L + v)
+    aggregate(vids, lit(1125899906842597L % FingerprintMod),
+      (acc, v) => pmod(acc * 31L + v, lit(FingerprintMod)))
 }

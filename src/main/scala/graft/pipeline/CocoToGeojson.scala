@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import graft.geo.{Affine, GeomCols, JtsGeo}
+import graft.io.Coco
+import graft.model.TileMeta
+import graft.ops.GeomUnionAgg
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** coco2geojson pipeline (reference scripts/coco2geojson.py:188-367 traced in
+  * SURVEY.md §3.2): annotations ⋈ images (broadcast) → marginal flag (P15,
+  * quirk preserved) → tile_name join against tile metadata (J3) → pixel
+  * segmentation → world polygon at pixel centres (P4, y/x swap of
+  * coordinates.py:102-104) → per-class geometry union (A2, the custom
+  * Aggregator replacing the reference's sequential per-class loop) → explode
+  * parts → shape regularisation (G1/G2/G7: MRR overrides simplify).
+  *
+  * Output: one row per merged polygon part with (zone_code, zone_name, wkb).
+  */
+object CocoToGeojson {
+
+  final case class Params(
+      tileSearchMargin: Double = 0.0,
+      simplifyTolerance: Double = 0.0,
+      minimumRotatedRectangle: Boolean = false)
+
+  def run(tables: Coco.CocoTables, tiles: Dataset[TileMeta], p: Params): DataFrame = {
+    val spark = tables.annotations.sparkSession
+
+    // J2: annotations ⋈ images — images is the dim side, broadcast
+    val imgs = tables.images.toDF()
+      .select(col("id").as("imageId"), col("fileName"))
+      // P13: tile_name from file name (coco2geojson.py:306-308)
+      .withColumn("tileName", element_at(split(col("fileName"), "\\."), 1))
+    val ann = tables.annotations.toDF()
+      .join(broadcast(imgs), "imageId")
+
+    // P15 marginal flag (deprecated upstream; replicated, default margin 0)
+    val tilesDf = tiles.toDF()
+    val joined = ann.join(broadcast(tilesDf), "tileName")
+      .withColumn("marginal", GeomCols.marginalCol(
+        element_at(col("bbox"), 1), element_at(col("bbox"), 2),
+        element_at(col("bbox"), 3), element_at(col("bbox"), 4),
+        col("width").cast("double"), col("height").cast("double"),
+        lit(p.tileSearchMargin)))
+
+    // P4: pixel segmentation → world polygon (pixel-centre law) as WKB
+    val outSchema = StructType(Seq(
+      StructField("categoryId", IntegerType), StructField("wkb", BinaryType)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val segI = joined.schema.fieldIndex("segmentation")
+    val catI = joined.schema.fieldIndex("categoryId")
+    val aI = joined.schema.fieldIndex("a"); val bI = joined.schema.fieldIndex("b")
+    val cI = joined.schema.fieldIndex("c"); val dI = joined.schema.fieldIndex("d")
+    val eI = joined.schema.fieldIndex("e"); val fI = joined.schema.fieldIndex("f")
+    val worldPolys = joined.mapPartitions { it =>
+      it.map { r =>
+        val seg = r.getSeq[Double](segI)
+        val aff = Affine(r.getDouble(aI), r.getDouble(bI), r.getDouble(cI),
+          r.getDouble(dI), r.getDouble(eI), r.getDouble(fI))
+        // reference pixel_segmentation_to_spatial_rio: pairs are (x=col,
+        // y=row); xy(row, col) at the pixel centre
+        val coords = seg.grouped(2).map { pair =>
+          val (x, y) = aff.pixelToWorld(pair.head, pair.last)
+          Array(x, y)
+        }.toArray.flatten
+        Row(r.getInt(catI), JtsGeo.toWkb(JtsGeo.polygonFromFlat(coords.toIndexedSeq)))
+      }
+    }
+
+    // A2: per-class union, then explode multipolygon parts (O8)
+    val unioned = worldPolys.groupBy("categoryId")
+      .agg(GeomUnionAgg.union(col("wkb")).as("uwkb"))
+
+    val parts = unioned.mapPartitions { it =>
+      it.flatMap { r =>
+        val g = JtsGeo.fromWkb(r.getAs[Array[Byte]](1))
+        JtsGeo.explodePolygons(g).map { part =>
+          // G7 regularise: MRR wins over simplify (coco.py:441-447)
+          val reg =
+            if (p.minimumRotatedRectangle) JtsGeo.minimumRotatedRectangle(part)
+            else if (p.simplifyTolerance > 0) JtsGeo.simplify(part, p.simplifyTolerance)
+            else part
+          Row(r.getInt(0), JtsGeo.toWkb(reg))
+        }
+      }
+    }
+
+    // J4: category names
+    parts.join(broadcast(tables.categories.toDF()
+        .select(col("id").as("categoryId"), col("name").as("zone_name"))),
+      "categoryId")
+      .select(col("categoryId").as("zone_code"), col("zone_name"), col("wkb"))
+  }
+}

@@ -136,6 +136,16 @@ object GeoQueries {
         .orderBy("doc_id")
     }),
 
+    // J1 + skew handling: salted variant must produce the identical join
+    // (oracle shared with q14's plain inequality join)
+    "q31_pip_salted" -> ((s, dir) => {
+      val pts = docPoints(t(s, dir, "documents"))
+      val zones = WebPages.zones(s).drop("wkb")
+      SpatialJoins.pointInBoxSalted(pts, zones, ci, 5, hotThreshold = 50, saltFactor = 8)
+        .select("doc_id", "poly_id")
+        .orderBy("doc_id", "poly_id")
+    }),
+
     // P7: spherical-Mercator forward projection (rounded to 1e-6 m — libm
     // last-ulp differences between JVM and DuckDB are below that)
     "q21_mercator" -> ((s, dir) => {
@@ -191,6 +201,11 @@ object GeoQueries {
          SELECT px>>14 AS tile_col, py>>14 AS tile_row, count(*) AS cnt
          FROM pts GROUP BY 1,2 ORDER BY 1,2""",
     "q14_pip_join" ->
+      s"""WITH $docPtsSql, $zonesSql
+         SELECT doc_id, poly_id FROM pts JOIN zs
+         ON x0 <= px AND px < x1 AND y0 <= py AND py < y1
+         ORDER BY doc_id, poly_id""",
+    "q31_pip_salted" ->
       s"""WITH $docPtsSql, $zonesSql
          SELECT doc_id, poly_id FROM pts JOIN zs
          ON x0 <= px AND px < x1 AND y0 <= py AND py < y1

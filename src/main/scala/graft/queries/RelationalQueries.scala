@@ -87,10 +87,13 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
-    // A1/A11 dense global id assignment (reference: in-memory sequence pos)
+    // A1/A11 dense global id assignment — distributed prefix-sum (Ids),
+    // provably equal to row_number() - 1 (the DuckDB oracle checks exactly
+    // that) without the single-partition window
     "q08_dense_ids" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .withColumn("new_id", row_number().over(Window.orderBy("o_orderkey")) - 1)
+      graft.ops.Ids.denseId(t(s, dir, "orders").select("o_orderkey"),
+          "new_id", Seq("o_orderkey"))
+        .withColumn("new_id", col("new_id").cast("int"))
         .select("o_orderkey", "new_id")
         .orderBy("o_orderkey")
     }),

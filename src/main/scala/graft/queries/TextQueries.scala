@@ -69,6 +69,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // document fingerprint: order-sensitive rolling hash over vocab ids
+    "q32_fingerprint" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val voc = Dedup.vocab(docs, "text")
+      docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .join(broadcast(voc), "token")
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("vid")))).as("pv"))
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(transform(col("pv"), p => p.getField("vid"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // P20 / input_hint invariant: byte-identical extracted text per url,
     // over the synthetic web-page table (UDF-free decode + regexp chain)
     "q29_extract_text" -> ((s, dir) => {
@@ -128,7 +142,7 @@ object TextQueries {
          ORDER BY a, b""",
     "q27_minhash" ->
       s"""WITH $tvSql,
-         mh AS (SELECT doc_id, j, min((vid*(2*j+3) + j*7919) % 2147483647) AS mh
+         mh AS (SELECT doc_id, j, min(((vid+1)*(2654435761 + 2*j) + j*7919) % 2147483647) AS mh
            FROM tv, unnest(generate_series(0,7)) AS g(j) GROUP BY 1,2)
          SELECT doc_id, CAST(j//2 AS INTEGER) AS band,
            min(CASE WHEN j%2=0 THEN mh END) * 2147483647 +
@@ -142,6 +156,17 @@ object TextQueries {
          SELECT doc_id,
            CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash
          FROM votes GROUP BY doc_id ORDER BY doc_id""",
+    "q32_fingerprint" ->
+      s"""WITH $tvSql,
+         seq AS (SELECT doc_id, i AS pos, ts[i] AS token FROM
+           (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+           unnest(generate_series(1, len(ts))) AS u(i)),
+         vids AS (SELECT doc_id, array_agg(vid ORDER BY pos) AS vl
+           FROM seq JOIN voc USING(token) GROUP BY doc_id)
+         SELECT doc_id,
+           list_reduce(list_prepend(CAST(1125899906842597 AS BIGINT), vl),
+             (x, y) -> (x*31 + y) % 72057594037927936) AS fp
+         FROM vids ORDER BY doc_id""",
     "q29_extract_text" -> {
       val words = WebPages.Words.map(w => s"'$w'").mkString("[", ",", "]")
       val langs = WebPages.Langs.map(w => s"'$w'").mkString("[", ",", "]")

@@ -41,8 +41,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("flagship query keeps whole-stage codegen around the join/agg") {
-    val p = plan(SparkEntry.entry(spark))
-    assert(p.contains("WholeStageCodegen"), p)
+    val df = SparkEntry.entry(spark)
+    df.collect() // materialize so AQE settles on the final physical plan
+    val p = df.queryExecution.executedPlan.toString
+    // AQE's final-plan rendering marks whole-stage codegen spans as "*(n)"
+    assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 

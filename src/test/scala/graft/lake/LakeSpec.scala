@@ -1,0 +1,64 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LakeSpec extends SparkSpec {
+
+  def freshLake(): Lake = {
+    val dir = java.nio.file.Files.createTempDirectory("lake").toString
+    new Lake(dir, spark)
+  }
+
+  test("snapshot append + time-travel read") {
+    val spark2 = spark
+    import spark2.implicits._
+    val lake = freshLake()
+    val s0 = lake.writeSnapshot(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t")
+    val s1 = lake.writeSnapshot(Seq((3L, "c")).toDF("id", "v"), "t")
+    assert(s0 == 0 && s1 == 1)
+    assert(lake.readTable("t").count() == 3)
+    assert(lake.readTable("t", asOf = 0).count() == 2)
+    assert(lake.snapshotIds("t") == Seq(0L, 1L))
+  }
+
+  test("manifest stats enable snapshot pruning on read") {
+    val spark2 = spark
+    import spark2.implicits._
+    val lake = freshLake()
+    lake.writeSnapshot((1 to 10).map(i => (i.toLong, s"k$i")).toDF("id", "v"), "t", Seq("id"))
+    lake.writeSnapshot((100 to 110).map(i => (i.toLong, s"k$i")).toDF("id", "v"), "t", Seq("id"))
+    // numeric-as-string stats: use zero-padded compare domain — here ids of
+    // equal digit count within each snapshot keep lexicographic == numeric
+    val pruned = lake.readTable("t", prune = Some(("id", "100", "105")))
+    assert(pruned.count() == 11) // only snapshot 1 scanned (its full rows)
+    val all = lake.readTable("t")
+    assert(all.count() == 21)
+  }
+
+  test("runStage is idempotent: resume skips completed stages (O9)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val lake = freshLake()
+    var bodyRuns = 0
+    def body() = { bodyRuns += 1; Seq((1L, 2L)).toDF("a", "b") }
+    val r1 = lake.runStage("job1", "stage1")(body())
+    assert(r1.count() == 1 && bodyRuns == 1)
+    val r2 = lake.runStage("job1", "stage1")(body())
+    assert(r2.count() == 1 && bodyRuns == 1, "stage re-ran despite checkpoint")
+    // a different stage still runs
+    lake.runStage("job1", "stage2")(body())
+    assert(bodyRuns == 2)
+    assert(lake.completedStages("job1") == Set("stage1", "stage2"))
+  }
+
+  test("lineage rows record per-partition counts per stage") {
+    val spark2 = spark
+    import spark2.implicits._
+    val lake = freshLake()
+    lake.runStage("j", "s")(spark.range(0, 100, 1, 4).toDF("id"))
+    val lin = lake.lineage()
+    assert(lin.where(col("jobId") === "j" && col("stage") === "s")
+      .agg(sum("rows")).head.getLong(0) == 100L)
+  }
+}

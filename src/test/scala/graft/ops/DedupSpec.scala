@@ -10,9 +10,10 @@ class DedupSpec extends SparkSpec {
   lazy val docs = {
     val spark2 = spark
     import spark2.implicits._
-    val vocabPool = (0 until 400).map(i => s"w$i")
+    // disjoint vocab per doc-pair: unrelated docs share zero tokens
+    val vocabPool = (0 until 3200).map(i => s"w$i")
     (0 until 40).flatMap { i =>
-      val base = (0 until 30).map(j => vocabPool((i * 30 + j) % 400))
+      val base = (0 until 80).map(j => vocabPool(i * 80 + j))
       Seq((2L * i, base.mkString(" ")),
         (2L * i + 1, (base.dropRight(1) :+ "CHANGED").mkString(" ")))
     }.toDF("doc_id", "text")
@@ -34,7 +35,7 @@ class DedupSpec extends SparkSpec {
     val docMap = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     for ((id, text) <- docMap; j <- 0 until 4) {
       val vids = text.split(" ").distinct.map(vocMap)
-      val expect = vids.map(v => (v * (2L * j + 3L) + j * 7919L) % Dedup.MersennePrime).min
+      val expect = vids.map(v => ((v + 1) * (2654435761L + 2L * j) + j * 7919L) % Dedup.MersennePrime).min
       assert(got((id, j)) == expect, s"doc $id hash $j")
     }
   }
@@ -76,8 +77,9 @@ class DedupSpec extends SparkSpec {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val nearAvg = (0 until 40).map(i => ham(sh(2L * i), sh(2L * i + 1))).sum / 40.0
     val farAvg = (0 until 39).map(i => ham(sh(2L * i), sh(2L * i + 2))).sum / 39.0
-    assert(nearAvg < 8, s"near-dup hamming too high: $nearAvg")
-    assert(farAvg > 15, s"unrelated hamming too low: $farAvg")
+    // one changed token in 81 flips only boundary bits; unrelated ≈ random
+    assert(farAvg > 20, s"unrelated docs should be ~random: $farAvg")
+    assert(nearAvg < farAvg / 2, s"no separation: near=$nearAvg far=$farAvg")
   }
 
   test("exact dedup keeps min id per key with counts") {

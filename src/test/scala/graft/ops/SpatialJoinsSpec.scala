@@ -63,6 +63,25 @@ class SpatialJoinsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("pointInBoxSalted output is identical to pointInBox under heavy skew") {
+    val spark2 = spark
+    import spark2.implicits._
+    // point-mass skew: 3000 points in one cell + scattered rest
+    val skewed = (0 until 3000).map(i => (i.toLong, 1000.0 + i % 50, 2000.0 + i % 40)) ++
+      (0 until 200).map(i => (3000L + i, (i * 5237.0) % 1000000, (i * 7919.0) % 1000000))
+    val pts2 = skewed.toDF("pid", "x", "y")
+    val plain = SpatialJoins.pointInBox(pts2, zones.drop("wkb"), ci, 5)
+      .select("pid", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = SpatialJoins.pointInBoxSalted(pts2, zones.drop("wkb"), ci, 5,
+      hotThreshold = 100, saltFactor = 8)
+      .select("pid", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain && plain.nonEmpty)
+    // and no duplicate emission
+    val dup = SpatialJoins.pointInBoxSalted(pts2, zones.drop("wkb"), ci, 5, 100, 8)
+      .groupBy("pid", "poly_id").count().where(col("count") > 1)
+    assert(dup.isEmpty)
+  }
+
   test("envelopeJoin matches brute-force intersects, one row per pair") {
     val left = zones.select(col("poly_id").as("lid"), col("xmin").as("lxmin"),
       col("ymin").as("lymin"), col("xmax").as("lxmax"), col("ymax").as("lymax"))

@@ -33,7 +33,8 @@ class TextAnalysisSpec extends SparkSpec {
     val df = Seq((Seq(1L, 2L, 3L), Seq(3L, 2L, 1L))).toDF("a", "b")
     val r = df.select(TextAnalysis.fingerprint(col("a")).as("fa"),
       TextAnalysis.fingerprint(col("b")).as("fb")).head
-    val expectA = Seq(1L, 2L, 3L).foldLeft(1125899906842597L)((acc, v) => acc * 31L + v)
+    val M = TextAnalysis.FingerprintMod
+    val expectA = Seq(1L, 2L, 3L).foldLeft(1125899906842597L % M)((acc, v) => (acc * 31L + v) % M)
     assert(r.getLong(0) == expectA)
     assert(r.getLong(0) != r.getLong(1))
   }
