@@ -17,7 +17,7 @@ object Bench {
   def flagship(spark: SparkSession, nPages: Long, nZones: Int, level: Int): (Long, Long) = {
     val ci = CellIndex.Unit20
     val feats = WebPages.features(WebPages.pages(spark, nPages, 64))
-    val zones = WebPages.zones(spark, nZones).drop("wkb")
+    val zones = WebPages.benchZones(spark, nZones)
     val joined = SpatialJoins.pointInBox(feats, zones, ci, level, broadcastBoxes = true)
       .withColumn("tile_id", ci.encodeCol(col("x"), col("y"), level))
       .groupBy("tile_id", "poly_id").agg(count(lit(1)).as("n"))

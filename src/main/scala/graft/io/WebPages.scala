@@ -61,6 +61,19 @@ object WebPages {
         pmod(col("id") * 2246822519L + col("f") * 65537L, lit(1048576L))
           .cast("double").as("y"))
 
+  /** Bench-scale zone layer: like [[zones]] but with a size range chosen so
+    * zones tile the world sparsely (~0.1-0.3 matches per point) — the
+    * realistic tile-assignment shape; generated distributed. */
+  def benchZones(spark: SparkSession, nZones: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.range(0, nZones, 1, math.max(1, nZones / 4096))
+      .select(col("id").as("poly_id"),
+        ((col("id") * 2654435761L + 12345L) % 1040000L).cast("double").as("xmin"),
+        (((col("id") + 1000L) * 2246822519L + 54321L) % 1040000L).cast("double").as("ymin"))
+      .withColumn("xmax", col("xmin") + (lit(2000L) + (col("poly_id") * 104729L) % 8000L).cast("double"))
+      .withColumn("ymax", col("ymin") + (lit(2000L) + (col("poly_id") * 7919L) % 8000L).cast("double"))
+  }
+
   /** Deterministic zone layer: `nZones` axis-aligned boxes over the Unit20
     * world, as both envelope columns and WKB polygons (`poly_id` = zone id). */
   def zones(spark: SparkSession, nZones: Int = 64): DataFrame = {

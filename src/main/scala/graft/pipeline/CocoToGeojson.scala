@@ -24,7 +24,8 @@ object CocoToGeojson {
   final case class Params(
       tileSearchMargin: Double = 0.0,
       simplifyTolerance: Double = 0.0,
-      minimumRotatedRectangle: Boolean = false)
+      minimumRotatedRectangle: Boolean = false,
+      orthogonalise: Boolean = false)
 
   def run(tables: Coco.CocoTables, tiles: Dataset[TileMeta], p: Params): DataFrame = {
     val spark = tables.annotations.sparkSession
@@ -78,11 +79,20 @@ object CocoToGeojson {
       it.flatMap { r =>
         val g = JtsGeo.fromWkb(r.getAs[Array[Byte]](1))
         JtsGeo.explodePolygons(g).map { part =>
-          // G7 regularise: MRR wins over simplify (coco.py:441-447)
+          // G7 regularise: MRR wins over simplify+orthogonalise
+          // (coco.py:441-447 precedence)
           val reg =
             if (p.minimumRotatedRectangle) JtsGeo.minimumRotatedRectangle(part)
-            else if (p.simplifyTolerance > 0) JtsGeo.simplify(part, p.simplifyTolerance)
-            else part
+            else {
+              val simplified =
+                if (p.simplifyTolerance > 0) JtsGeo.simplify(part, p.simplifyTolerance)
+                else part
+              if (p.orthogonalise) simplified match {
+                case poly: org.locationtech.jts.geom.Polygon =>
+                  graft.geo.Orthogonalise(poly)
+                case other => other
+              } else simplified
+            }
           Row(r.getInt(0), JtsGeo.toWkb(reg))
         }
       }

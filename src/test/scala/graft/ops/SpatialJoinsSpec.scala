@@ -63,6 +63,14 @@ class SpatialJoinsSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("pointInPolygonBroadcastFast (codegen probe) matches the row path") {
+    val a = SpatialJoins.pointInPolygonBroadcast(pts, zones)
+      .select("pid", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = SpatialJoins.pointInPolygonBroadcastFast(pts, zones)
+      .select("pid", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && b.nonEmpty)
+  }
+
   test("pointInBoxSalted output is identical to pointInBox under heavy skew") {
     val spark2 = spark
     import spark2.implicits._
