@@ -62,6 +62,36 @@ object Proj {
 
   private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
 
+  private val beta = Array(
+    n / 2 - 2.0 / 3 * n * n + 37.0 / 96 * n * n * n,
+    n * n / 48 + n * n * n / 15,
+    17.0 / 480 * n * n * n)
+
+  /** Inverse TM: (easting, northing) → (lat, lon) degrees (Karney series). */
+  def utmInverse(e: Double, nn: Double, zone: Int, north: Boolean): (Double, Double) = {
+    val lon0 = math.toRadians(zone * 6 - 183)
+    val xi0 = (nn - (if (north) 0.0 else 10000000.0)) / (K0 * A)
+    val eta0 = (e - 500000.0) / (K0 * A)
+    var xi = xi0; var eta = eta0
+    for (j <- 1 to 3) {
+      xi -= beta(j - 1) * math.sin(2 * j * xi0) * math.cosh(2 * j * eta0)
+      eta -= beta(j - 1) * math.cos(2 * j * xi0) * math.sinh(2 * j * eta0)
+    }
+    val chi = math.asin(math.sin(xi) / math.cosh(eta))
+    // latitude from conformal latitude: solve tau(phi) = tan(chi) by
+    // bisection (robust, ~1e-12 rad after 60 halvings)
+    val target = math.tan(chi)
+    var lo = -math.Pi / 2 + 1e-12; var hi = math.Pi / 2 - 1e-12
+    for (_ <- 0 until 60) {
+      val mid = (lo + hi) / 2
+      val t = math.sinh(atanh(math.sin(mid)) - math.sqrt(E2) * atanh(math.sqrt(E2) * math.sin(mid)))
+      if (t < target) lo = mid else hi = mid
+    }
+    val phi = (lo + hi) / 2
+    val lon = lon0 + math.atan2(math.sinh(eta), math.cos(xi))
+    (math.toDegrees(phi), math.toDegrees(lon))
+  }
+
   /** Shoelace area of a lat/lon ring after projecting to its estimated UTM —
     * the reference's area-filter semantics (coordinates.py:194-198). */
   def utmRingArea(latLonFlat: Seq[Double]): Double = {

@@ -101,6 +101,18 @@ object CocoOps {
     subsetByImages(t, imgs)
   }
 
+  /** Roboflow path rewrite (P18, batch_geojson2coco.py:504-508): the
+    * reference string-replaces `/tile_` → `_tile_` in the raw JSON text;
+    * here it is a structured column transform on `fileName`. */
+  def roboflowify(t: CocoTables): CocoTables = {
+    val spark = t.images.sparkSession
+    import spark.implicits._
+    val imgs = t.images.toDF()
+      .withColumn("fileName", regexp_replace(col("fileName"), "/tile_", "_tile_"))
+      .as[CocoImage]
+    CocoTables(imgs, t.annotations, t.categories)
+  }
+
   // ---------- concat with global re-indexing (batch_geojson2coco.py) ----------
 
   /** Concatenate datasets with dense global ids (A11 prefix-sum shifts, no

@@ -59,13 +59,15 @@ for trial in 1 2 3 4 5; do
 done
 
 python3 - "$OUT" "$SPIN" "$VARIANT" <<'EOF'
-import json, sys, os
+import json, sys, os, statistics
 r8, r32, rows = [], [], 0
 for line in open(sys.argv[1]):
     d = json.loads(line)
     rows = d["rows"]
     (r8 if d["cores"] == 8 else r32).append(d["rows_per_sec"])
-b8, b32 = max(r8), max(r32)
+# medians: this host shows +-20% run-to-run noise; best-of pairs a lucky
+# low-core run against a typical high-core run and misstates scaling
+b8, b32 = int(statistics.median(r8)), int(statistics.median(r32))
 eff = b32 / (4 * b8)
 spin = float(sys.argv[2])
 os.makedirs("BENCH", exist_ok=True)
@@ -75,7 +77,7 @@ with open("BENCH/BASELINE.md", "w") as f:
 Same spark-submit job — parquet scan of the Z-order-clustered feature table →
 cell assignment → broadcast STRtree point-in-polygon join (32-gon zone layer,
 ~1 candidate/point) → count per (tile, zone) — at local[8] (N) and local[32]
-(4N); fresh JVM per measurement, pinned to exactly N CPUs, best of {len(r8)}
+(4N); fresh JVM per measurement, pinned to exactly N CPUs, median of {len(r8)}
 interleaved trials. Variant: {sys.argv[3]} (codegen-friendly primitive probe
 into a per-thread cached STRtree).
 
