@@ -90,7 +90,15 @@ object JtsGeo {
     if (gs.isEmpty) factory.createPolygon()
     else UnaryUnionOp.union(gs.asJava)
 
+  /** shapely `Geometry.simplify` defaults to preserve_topology=True →
+    * GEOS TopologyPreservingSimplifier (reference coco.py:445 uses the
+    * default). A plain Douglas-Peucker collapses polygons smaller than the
+    * tolerance to empties; the topology-preserving variant never does. */
   def simplify(g: Geometry, tol: Double): Geometry =
+    org.locationtech.jts.simplify.TopologyPreservingSimplifier.simplify(g, tol)
+
+  /** Douglas-Peucker (shapely preserve_topology=False path). */
+  def simplifyDp(g: Geometry, tol: Double): Geometry =
     DouglasPeuckerSimplifier.simplify(g, tol)
 
   def minimumRotatedRectangle(g: Geometry): Geometry =

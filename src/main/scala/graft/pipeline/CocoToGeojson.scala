@@ -25,7 +25,13 @@ object CocoToGeojson {
       tileSearchMargin: Double = 0.0,
       simplifyTolerance: Double = 0.0,
       minimumRotatedRectangle: Boolean = false,
-      orthogonalise: Boolean = false)
+      orthogonalise: Boolean = false,
+      /** Layer CRS for the reference's regularisation hop: it reprojects to
+        * EPSG:4326 before simplify/orthogonalise (tolerance is in degrees!)
+        * and back (coco2geojson.py:342-353). "EPSG:3857" enables the
+        * closed-form hop; "EPSG:4326" means already lon/lat; None skips the
+        * hop (tolerance interpreted in layer units — documented deviation). */
+      layerCrs: Option[String] = None)
 
   def run(tables: Coco.CocoTables, tiles: Dataset[TileMeta], p: Params): DataFrame = {
     val spark = tables.annotations.sparkSession
@@ -75,10 +81,27 @@ object CocoToGeojson {
     val unioned = worldPolys.groupBy("categoryId")
       .agg(GeomUnionAgg.union(col("wkb")).as("uwkb"))
 
+    // CRS hop for regularisation (reference semantics: tolerance in degrees)
+    val toLonLat: org.locationtech.jts.geom.Geometry => org.locationtech.jts.geom.Geometry =
+      p.layerCrs match {
+        case Some("EPSG:3857") => g => transformCoords(g,
+          (x, y) => (graft.geo.Proj.invMercatorLon(x), graft.geo.Proj.invMercatorLat(y)))
+        case _ => identity
+      }
+    val fromLonLat: org.locationtech.jts.geom.Geometry => org.locationtech.jts.geom.Geometry =
+      p.layerCrs match {
+        case Some("EPSG:3857") => g => transformCoords(g,
+          (lon, lat) => (graft.geo.Proj.mercatorX(lon), graft.geo.Proj.mercatorY(lat)))
+        case _ => identity
+      }
+    val hop = p.layerCrs.isDefined &&
+      (p.simplifyTolerance > 0 || p.orthogonalise || p.minimumRotatedRectangle)
+
     val parts = unioned.mapPartitions { it =>
       it.flatMap { r =>
         val g = JtsGeo.fromWkb(r.getAs[Array[Byte]](1))
-        JtsGeo.explodePolygons(g).map { part =>
+        JtsGeo.explodePolygons(g).map { part0 =>
+          val part = if (hop) toLonLat(part0) else part0
           // G7 regularise: MRR wins over simplify+orthogonalise
           // (coco.py:441-447 precedence)
           val reg =
@@ -93,7 +116,7 @@ object CocoToGeojson {
                 case other => other
               } else simplified
             }
-          Row(r.getInt(0), JtsGeo.toWkb(reg))
+          Row(r.getInt(0), JtsGeo.toWkb(if (hop) fromLonLat(reg) else reg))
         }
       }
     }
@@ -103,5 +126,25 @@ object CocoToGeojson {
         .select(col("id").as("categoryId"), col("name").as("zone_name"))),
       "categoryId")
       .select(col("categoryId").as("zone_code"), col("zone_name"), col("wkb"))
+  }
+
+  /** Apply a coordinate transform vertex-wise, preserving polygon structure. */
+  private def transformCoords(g: org.locationtech.jts.geom.Geometry,
+      f: (Double, Double) => (Double, Double)): org.locationtech.jts.geom.Geometry = {
+    val edit = new org.locationtech.jts.geom.util.GeometryTransformer {
+      override def transformCoordinates(
+          cs: org.locationtech.jts.geom.CoordinateSequence,
+          parent: org.locationtech.jts.geom.Geometry) = {
+        val out = new Array[org.locationtech.jts.geom.Coordinate](cs.size)
+        var i = 0
+        while (i < cs.size) {
+          val (x, y) = f(cs.getX(i), cs.getY(i))
+          out(i) = new org.locationtech.jts.geom.Coordinate(x, y)
+          i += 1
+        }
+        JtsGeo.factory.getCoordinateSequenceFactory.create(out)
+      }
+    }
+    edit.transform(g)
   }
 }
