@@ -31,6 +31,9 @@ final case class CellIndex(originX: Double, originY: Double, size: Double) {
 
   // ---------- pure Scala ----------
 
+  /** Finest supported zoom (28 bits per axis — see class doc). */
+  val maxLevel: Int = 28
+
   def cellSize(level: Int): Double = size / (1L << level).toDouble
 
   def colOf(x: Double, level: Int): Long =

@@ -92,6 +92,26 @@ object Proj {
     (math.toDegrees(phi), math.toDegrees(lon))
   }
 
+  /** UTM-projected area of a lon/lat polygon (shell − holes) for a FIXED
+    * zone — the reference estimates one UTM CRS for the whole layer
+    * (`geojson.estimate_utm_crs()`, coordinates.py:195) and filters every
+    * clipped part by its area in that CRS (coordinates.py:194-198). */
+  def utmPolygonArea(poly: org.locationtech.jts.geom.Polygon, zone: Int, north: Boolean): Double = {
+    def ringArea(ring: org.locationtech.jts.geom.LineString): Double = {
+      val cs = ring.getCoordinates
+      if (cs.length < 4) return 0.0
+      val pts = cs.map(c => utmForward(c.y, c.x, zone, north))
+      var s = 0.0
+      for (i <- 0 until pts.length - 1) {
+        s += pts(i)._1 * pts(i + 1)._2 - pts(i + 1)._1 * pts(i)._2
+      }
+      math.abs(s) / 2
+    }
+    val holes = (0 until poly.getNumInteriorRing)
+      .map(i => ringArea(poly.getInteriorRingN(i))).sum
+    ringArea(poly.getExteriorRing) - holes
+  }
+
   /** Shoelace area of a lat/lon ring after projecting to its estimated UTM —
     * the reference's area-filter semantics (coordinates.py:194-198). */
   def utmRingArea(latLonFlat: Seq[Double]): Double = {

@@ -20,7 +20,7 @@ import scala.jdk.CollectionConverters._
   */
 object GeoJson {
 
-  def parseDocument(text: String, classColumn: String, classDefault: String): Seq[(Geometry, String)] = {
+  def parseDocument(text: String, classColumn: String, classDefault: String): Seq[(Geometry, String, Map[String, String])] = {
     val mapper = new ObjectMapper()
     val root = mapper.readTree(text)
     val feats = root.get("features")
@@ -28,9 +28,11 @@ object GeoJson {
     feats.asScala.toSeq.map { f =>
       val geom = parseGeometry(f.get("geometry"))
       val props = f.get("properties")
-      val cls = if (props != null && props.has(classColumn)) props.get(classColumn).asText()
-        else classDefault
-      (geom, cls)
+      val propMap: Map[String, String] =
+        if (props == null) Map.empty
+        else props.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      val cls = propMap.getOrElse(classColumn, classDefault)
+      (geom, cls, propMap)
     }
   }
 
@@ -57,20 +59,29 @@ object GeoJson {
   }
 
   /** Read one-or-many GeoJSON files into the typed Feature layout.
-    * featureId = (document order preserved within file via zipWithIndex-free
-    * local ordinal; files sorted by path). */
+    * featureId is GLOBAL across files: dense ids in (file path, in-file
+    * ordinal) order via [[graft.ops.Ids.denseId]] — per-file ids restarting
+    * at 0 would collide on multi-file reads and corrupt first-appearance
+    * factorization (reference reads one layer per call,
+    * scripts/geojson2coco.py:180; the engine reads many). */
   def read(spark: SparkSession, path: String, classColumn: String = "class",
            classDefault: String = "class"): Dataset[Feature] = {
     import spark.implicits._
-    val docs = spark.read.option("wholetext", true).text(path).as[String]
-    docs.flatMap { text =>
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val docs = spark.read.option("wholetext", true).text(path)
+      .select(input_file_name().as("path"), col("value"))
+      .as[(String, String)]
+    val local = docs.flatMap { case (p, text) =>
       parseDocument(text, classColumn, classDefault).zipWithIndex.map {
-        case ((geom, cls), i) =>
+        case ((geom, cls, props), i) =>
           val e = geom.getEnvelopeInternal
-          Feature(i.toLong, JtsGeo.toWkb(geom), e.getMinX, e.getMinY, e.getMaxX,
-            e.getMaxY, cls)
+          (p, i.toLong, JtsGeo.toWkb(geom), e.getMinX, e.getMinY, e.getMaxX,
+            e.getMaxY, cls, props)
       }
-    }
+    }.toDF("path", "i", "wkb", "xmin", "ymin", "xmax", "ymax", "zoneName", "props")
+    graft.ops.Ids.denseId(local, "featureId", Seq("path", "i"))
+      .drop("path", "i")
+      .as[Feature]
   }
 
   // ---------- writer ----------

@@ -21,12 +21,14 @@ final case class TileMeta(
     colOff: Int, rowOff: Int, width: Int, height: Int,
     a: Double, b: Double, c: Double, d: Double, e: Double, f: Double)
 
-/** Vector feature: WKB geometry + cached envelope + class attribution
-  * (SURVEY.md §1.2). */
+/** Vector feature: WKB geometry + cached envelope + class attribution +
+  * the full attribute table (SURVEY.md §1.2 — the reference carries every
+  * GeoDataFrame property column through the pipeline; `props` preserves
+  * them as strings so users can filter/group on any attribute). */
 final case class Feature(
     featureId: Long, wkb: Array[Byte],
     xmin: Double, ymin: Double, xmax: Double, ymax: Double,
-    zoneName: String)
+    zoneName: String, props: Map[String, String] = Map.empty)
 
 final case class CocoImage(id: Long, fileName: String, height: Int, width: Int,
     license: Int = 1)

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for the training-data pipeline: exact, MinHash+LSH,
@@ -24,11 +23,14 @@ object Dedup {
       .agg(min(idCol).as("keeper"), count(lit(1)).as("n_dupes"))
 
   /** Corpus vocabulary: distinct whitespace tokens with dense ids assigned
-    * in lexicographic order (deterministic, engine-portable). */
+    * in lexicographic order (deterministic, engine-portable). Ids come from
+    * [[Ids.denseId]] (range-partitioned prefix-sum) — a global
+    * `row_number() over (order by token)` would move the entire vocab (at
+    * web scale: billions of tokens) to a single partition. */
   def vocab(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(col(textCol), " ")).as("token"))
-      .distinct()
-      .withColumn("vid", row_number().over(Window.orderBy("token")).cast("long") - 1)
+    Ids.denseId(
+      docs.select(explode(split(col(textCol), " ")).as("token")).distinct(),
+      "vid", Seq("token"))
 
   /** Per-document distinct token vids: (id, vid). */
   def docTokenVids(docs: DataFrame, idCol: String, textCol: String,
@@ -74,22 +76,34 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard over distinct word n-gram sets for given candidate pairs
-    * (or all same-key pairs when `candidates` is null). Exact rational:
-    * inter/(|A|+|B|-inter). */
+  /** Exact Jaccard over distinct word n-gram sets, restricted to grams whose
+    * document frequency is ≤ `dfCap` (standard near-dup practice: a hot gram
+    * like "of the and" appearing in T docs would contribute T²/2 pairs to
+    * the gram self-join — quadratic per gram at corpus scale). The gram
+    * universe, set sizes, and intersections are all measured over the kept
+    * grams, so the score is the exact Jaccard of the capped gram sets.
+    * Recall tradeoff: a pair whose every shared gram is hotter than `dfCap`
+    * is not emitted — acceptable for dedup, where pairs sharing only
+    * boilerplate grams are not near-duplicates. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int,
-                   maxIdGap: Long): DataFrame = {
+                   dfCap: Long): DataFrame = {
     val grams = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("i", explode(sequence(lit(0), size(col("toks")) - n)))
       .select(col("id"),
         array_join(slice(col("toks"), col("i") + 1, lit(n)), " ").as("gram"))
       .distinct()
-    val sizes = grams.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = grams.as("g1").join(grams.as("g2"),
-        col("g1.gram") === col("g2.gram") && col("g1.id") < col("g2.id") &&
-          col("g2.id") - col("g1.id") <= maxIdGap)
-      .groupBy(col("g1.id").as("a"), col("g2.id").as("b"))
+    val keptGrams = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select("gram")
+    val kept = grams.join(keptGrams, "gram")
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("sz"))
+    // rename on independent projections — same-lineage self-joins silently
+    // mis-resolve the a<b predicate
+    val g1 = kept.select(col("id").as("a"), col("gram"))
+    val g2 = kept.select(col("id").as("b"), col("gram"))
+    val inter = g1.join(g2, Seq("gram"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
@@ -102,17 +116,18 @@ object Dedup {
   /** 60-bit SimHash over distinct token vids (60 bits keeps the packed
     * value positive in both engines). Bit k of token v =
     * ((v*2654435761 + k*40503) >> 13) & 1; simhash bit k is 1 iff the
-    * majority of tokens set it (sum of ±1 votes > 0, ties → 0). */
+    * majority of tokens set it (sum of ±1 votes > 0, ties → 0).
+    *
+    * Implemented as a typed partial/final [[SimhashAgg]] Aggregator: one
+    * hash-agg shuffle keyed by doc id, each token folding its 60 votes into
+    * a primitive int[60] buffer — no 60× row explode (the previous column
+    * formulation pushed 60·|tokens| rows through two shuffles; 15 s → ~2 s
+    * at sf0.1, and ~60× less shuffle IO at corpus scale). Vote sums are
+    * integers, so the result is order-free and identical to the per-bit
+    * column formula the DuckDB oracle (q28) runs. */
   def simhash(tokenVids: DataFrame): DataFrame =
-    tokenVids
-      .withColumn("k", explode(sequence(lit(0L), lit(59L))))
-      .withColumn("bit",
-        shiftright(col("vid") * 2654435761L + col("k") * 40503L, 13).bitwiseAND(lit(1L)))
-      .groupBy("id", "k")
-      .agg(sum(col("bit") * 2L - 1L).as("s"))
-      .groupBy("id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), cast(k as int))"))
-        .otherwise(0L)).as("simhash"))
+    tokenVids.groupBy("id")
+      .agg(SimhashAgg.udafCol(col("vid")).as("simhash"))
 
   /** Hamming distance between two packed simhash values — bit_count of xor. */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

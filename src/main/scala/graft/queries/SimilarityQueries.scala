@@ -5,31 +5,69 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity-search surface (builder brief): brute-force cosine
-  * top-k baseline with an exact DuckDB oracle. The oracle reproduces the
-  * left-to-right double fold bit-for-bit via `list_reduce` (products of two
-  * floats are exact in double; identical accumulation order → identical
-  * IEEE754 results → identical hashes). The LSH-bucketed scale path is
-  * checked in SimilaritySpec (recall vs brute force). */
+  * top-k baseline plus the banded multi-table SRP-LSH scale path, both with
+  * exact DuckDB oracles. Exactness rests on two invariants proven in round
+  * 1: (a) float×float products are exact in double, and (b) a left-to-right
+  * double fold is bit-identical between Spark's `aggregate`/JVM loops and
+  * DuckDB's `list_reduce` with explicit DOUBLE casts — identical
+  * accumulation order → identical IEEE754 results → identical hashes. The
+  * SRP plane components are pure integer hash-mixes, so bucket keys are
+  * engine-portable too. */
 object SimilarityQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  val AnnBands = 8
+  val AnnRowsPerBand = 10
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // top-2 nearest neighbours by cosine within each label block
+    // top-2 nearest neighbours by cosine within each label block — the
+    // brute-force baseline (broadcast block + JVM fold kernel; zero
+    // shuffles, bit-identical to the windowed column formulation)
     "q30_ann_cosine" -> ((s, dir) => {
-      Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 2,
+      Similarity.cosineTopKBroadcast(t(s, dir, "embeddings"), "vec_id", "embedding", 2,
           blockCol = Some("label"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // the ANN scale path: banded multi-table SRP-LSH candidates (equi-join
+    // on (band, bandkey) — never all-pairs), exact cosine re-rank of
+    // candidates only. The oracle runs the identical algorithm in DuckDB.
+    "q37_ann_lsh" -> ((s, dir) => {
+      Similarity.annLshBanded(t(s, dir, "embeddings"), "vec_id", "embedding", 2,
+          bands = AnnBands, rowsPerBand = AnnRowsPerBand)
         .orderBy("qid", "rnk")
     })
   )
 
+  /** Norm subquery shared by both oracles (bit-exact dot fold). */
+  private val eSql =
+    """e AS (SELECT vec_id, label, embedding,
+         sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+           l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x,y) -> x + y)) AS n
+         FROM embeddings)"""
+
+  /** SRP plane component (p, i0) with i0 0-based — mirrors
+    * Similarity.planeComponent exactly (DuckDB lambda index is 1-based,
+    * hence the (i-1)). */
+  private def projSql(p: Int): String =
+    s"""list_reduce(list_transform(embedding, (x,i) -> CAST(x AS DOUBLE) *
+       (CAST(($p*2654435761 + (i-1)*40503) % 1000 AS DOUBLE)/1000.0 - 0.5)),
+       (x,y) -> x + y)"""
+
+  private def bandKeySql(band: Int): String =
+    (0 until AnnRowsPerBand).map { j =>
+      s"(CASE WHEN ${projSql(band * AnnRowsPerBand + j)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val sigsSql = (0 until AnnBands).map { b =>
+    s"SELECT vec_id, $b AS band, ${bandKeySql(b)} AS bkey FROM embeddings"
+  }.mkString(" UNION ALL ")
+
   val oracleSql: Map[String, String] = Map(
     "q30_ann_cosine" ->
-      """WITH e AS (SELECT vec_id, label, embedding,
-           sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
-             l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x,y) -> x + y)) AS n
-           FROM embeddings),
+      s"""WITH $eSql,
          pairs AS (SELECT a.vec_id AS qid, b.vec_id AS pid,
              list_reduce(list_transform(list_zip(a.embedding, b.embedding),
                l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x,y) -> x + y)
@@ -39,6 +77,24 @@ object SimilarityQueries {
            (SELECT qid, pid, cos,
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, pid ASC) AS rn
             FROM pairs)
+         WHERE rn <= 2 ORDER BY qid, rnk""",
+    "q37_ann_lsh" ->
+      s"""WITH $eSql,
+         sigs AS ($sigsSql),
+         cand AS (SELECT s1.vec_id AS a, s2.vec_id AS b FROM sigs s1 JOIN sigs s2
+           ON s1.band = s2.band AND s1.bkey = s2.bkey AND s1.vec_id < s2.vec_id
+           GROUP BY 1, 2),
+         directed AS (SELECT a AS qid, b AS pid FROM cand
+           UNION ALL SELECT b, a FROM cand),
+         scored AS (SELECT d.qid, d.pid,
+             list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+               l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x,y) -> x + y)
+               / (ea.n * eb.n) AS cos
+           FROM directed d JOIN e ea ON ea.vec_id = d.qid JOIN e eb ON eb.vec_id = d.pid)
+         SELECT qid, CAST(rn AS INTEGER) AS rnk, pid, cos FROM
+           (SELECT qid, pid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, pid ASC) AS rn
+            FROM scored)
          WHERE rn <= 2 ORDER BY qid, rnk"""
   )
 }

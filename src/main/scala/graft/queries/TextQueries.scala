@@ -41,8 +41,11 @@ object TextQueries {
       Dedup.exact(keyed, "doc_id", "key").orderBy("key")
     }),
 
+    // n-gram Jaccard with the document-frequency cap active (grams in > 4
+    // docs dropped — the skew guard that keeps hot grams from quadratic
+    // per-gram pair blowup at corpus scale)
     "q26_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", 3, 25)
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", 3, dfCap = 4)
         .orderBy("a", "b")
     }),
 
@@ -129,12 +132,15 @@ object TextQueries {
           FROM documents) GROUP BY key ORDER BY key""",
     "q26_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
-         grams AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2],' ') AS gram
+         grams0 AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2],' ') AS gram
            FROM toks, unnest(generate_series(1, len(ts)-2)) AS u(i)),
+         kept AS (SELECT gram FROM
+           (SELECT gram, count(*) AS df FROM grams0 GROUP BY 1) WHERE df <= 4),
+         grams AS (SELECT doc_id, gram FROM grams0 JOIN kept USING(gram)),
          sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
          inter AS (SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS inter
            FROM grams g1 JOIN grams g2 ON g1.gram = g2.gram
-             AND g1.doc_id < g2.doc_id AND g2.doc_id - g1.doc_id <= 25
+             AND g1.doc_id < g2.doc_id
            GROUP BY 1,2)
          SELECT a, b, inter,
            CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jacc

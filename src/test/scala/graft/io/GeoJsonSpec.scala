@@ -19,12 +19,27 @@ class GeoJsonSpec extends SparkSpec {
   test("parse: polygon with hole + multipolygon + class default") {
     val feats = GeoJson.parseDocument(doc, "class", "fallback")
     assert(feats.length == 2)
-    val (g0, c0) = feats(0)
+    val (g0, c0, p0) = feats(0)
     assert(c0 == "building")
     assert(g0.getArea == 100.0 - 4.0) // hole subtracted
-    val (g1, c1) = feats(1)
+    assert(p0 == Map("class" -> "building", "other" -> "1"))
+    val (g1, c1, p1) = feats(1)
     assert(c1 == "fallback")
     assert(g1.getNumGeometries == 2 && g1.getArea == 125.0)
+    assert(p1.isEmpty)
+  }
+
+  test("multi-file read assigns globally unique featureIds in (path, ordinal) order") {
+    val tmp = java.nio.file.Files.createTempDirectory("gjmulti")
+    java.nio.file.Files.writeString(tmp.resolve("a.geojson"), doc)
+    java.nio.file.Files.writeString(tmp.resolve("b.geojson"), doc)
+    val feats = GeoJson.read(spark, tmp.toString, "class", "fallback").collect()
+    assert(feats.length == 4)
+    assert(feats.map(_.featureId).toSet == Set(0L, 1L, 2L, 3L),
+      "ids must be globally dense, not per-file")
+    // stable factorization order: file a's features before file b's
+    val byId = feats.sortBy(_.featureId)
+    assert(byId.map(_.zoneName).toSeq == Seq("building", "fallback", "building", "fallback"))
   }
 
   test("distributed read produces the WKB+envelope Feature layout") {

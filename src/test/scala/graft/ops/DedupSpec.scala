@@ -70,6 +70,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccard dfCap drops hot grams: pairs sharing only boilerplate vanish") {
+    val spark2 = spark
+    import spark2.implicits._
+    // every doc starts with the same boilerplate trigram ("hot a b"); docs
+    // 0/1 additionally share a rare trigram ("x y z")
+    val hot = Seq(
+      (0L, "hot a b x y z p0"), (1L, "hot a b x y z p1"),
+      (2L, "hot a b c2 d2 e2"), (3L, "hot a b c3 d3 e3"),
+      (4L, "hot a b c4 d4 e4")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccard(hot, "doc_id", "text", 3, dfCap = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // "hot a b" (and "a b x"/"a b c*" where df ≤ 2 stays) — the df-5 gram is
+    // dropped, so docs 2/3/4 share nothing kept; 0/1 still pair via rare grams
+    assert(got.keySet.forall { case (a, b) => Set(a, b) == Set(0L, 1L) },
+      s"pairs sharing only hot grams must vanish: ${got.keySet}")
+    assert(got.contains((0L, 1L)))
+    // exact Jaccard over the KEPT gram sets
+    def grams(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toVector
+    val all = hot.collect().map(r => r.getLong(0) -> grams(r.getString(1))).toMap
+    val df = all.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size)
+    val kept = all.view.mapValues(_.distinct.filter(g => df(g) <= 2).toSet).toMap
+    val inter = kept(0L).intersect(kept(1L)).size
+    assert(got((0L, 1L)) ==
+      (inter.toLong, inter.toDouble / (kept(0L).size + kept(1L).size - inter)))
+  }
+
   test("simhash: near-dups are hamming-close, unrelated docs are far") {
     val voc = Dedup.vocab(docs, "text")
     val tv = Dedup.docTokenVids(docs, "doc_id", "text", voc)

@@ -54,6 +54,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"mean recall@3 = $recall")
   }
 
+  test("cosineTopKBroadcast is bit-identical to the windowed column formulation") {
+    val a = Similarity.cosineTopK(emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = Similarity.cosineTopKBroadcast(emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a == b)
+  }
+
+  test("annLshBanded recall@3 beats single-table at the same total planes") {
+    val expect = bruteTopK(3)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val rs = expect.toSeq.map { case (q, ids) =>
+        got.get(q).map(g => ids.count(g.contains).toDouble / ids.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val banded = recallOf(Similarity.annLshBanded(emb, "vec_id", "embedding", 3,
+      bands = 6, rowsPerBand = 4))
+    val single = recallOf(Similarity.annLsh(emb, "vec_id", "embedding", 3, nPlanes = 24))
+    assert(banded >= 0.9, s"banded recall@3 = $banded")
+    assert(banded > single, s"OR-amplification should beat one 24-bit table: $banded vs $single")
+  }
+
   test("dot/norm column functions match scala") {
     val spark2 = spark
     import spark2.implicits._
