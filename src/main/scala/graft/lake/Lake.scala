@@ -52,12 +52,18 @@ final class Lake(val root: String, spark: SparkSession) {
     df.write.mode("errorifexists").parquet(dir)
     val written = spark.read.parquet(dir)
     val rows = written.count()
+    // numeric stats are stored as JSON numbers and compared numerically at
+    // prune time — a stringified compare would order "9" > "10" and
+    // incorrectly skip matching snapshots (silently missing rows)
     val stats = statsCols.flatMap { c =>
+      val numeric = written.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
       val r = written.agg(min(col(c)).cast("string"), max(col(c)).cast("string")).head()
-      if (r.isNullAt(0)) None else Some(c -> (r.getString(0), r.getString(1)))
+      if (r.isNullAt(0)) None else Some((c, r.getString(0), r.getString(1), numeric))
     }
-    val statsJson = stats.map { case (c, (lo, hi)) =>
-      s""""$c":{"min":${jstr(lo)},"max":${jstr(hi)}}"""
+    val statsJson = stats.map { case (c, lo, hi, numeric) =>
+      if (numeric) s""""$c":{"min":$lo,"max":$hi,"num":true}"""
+      else s""""$c":{"min":${jstr(lo)},"max":${jstr(hi)},"num":false}"""
     }.mkString("{", ",", "}")
     val manifest =
       s"""{"snapshot":$snap,"table":${jstr(table)},"rows":$rows,"stats":$statsJson}"""
@@ -84,12 +90,13 @@ final class Lake(val root: String, spark: SparkSession) {
     val snaps = prune match {
       case None => snaps0
       case Some((c, lo, hi)) => snaps0.filter { s =>
-        val m = manifest(table, s)
-        val stat = s""""$c":\\{"min":"([^"]*)","max":"([^"]*)"\\}""".r
-        stat.findFirstMatchIn(m) match {
-          case Some(g) => g.group(1) <= hi && g.group(2) >= lo
-          case None => true
-        }
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = mapper.readTree(manifest(table, s))
+        val stat = if (root.has("stats")) root.get("stats").get(c) else null
+        if (stat == null) true // no stats for the column → cannot prune
+        else if (stat.get("num").asBoolean())
+          stat.get("min").asDouble() <= hi.toDouble && stat.get("max").asDouble() >= lo.toDouble
+        else stat.get("min").asText() <= hi && stat.get("max").asText() >= lo
       }
     }
     if (snaps.isEmpty) spark.emptyDataFrame

@@ -69,7 +69,7 @@ object CocoOps {
     val anns = t.annotations.toDF()
       .join(ids.withColumnRenamed("id", "imageId"), Seq("imageId"), "left_semi")
       .select(t.annotations.columns.map(col).toIndexedSeq: _*).as[CocoAnnotation]
-    CocoTables(imgs, anns, t.categories)
+    CocoTables(imgs, anns, t.categories, t.extras)
   }
 
   // ---------- balance (coco_balance.py) ----------
@@ -110,7 +110,7 @@ object CocoOps {
     val imgs = t.images.toDF()
       .withColumn("fileName", regexp_replace(col("fileName"), "/tile_", "_tile_"))
       .as[CocoImage]
-    CocoTables(imgs, t.annotations, t.categories)
+    CocoTables(imgs, t.annotations, t.categories, t.extras)
   }
 
   // ---------- concat with global re-indexing (batch_geojson2coco.py) ----------
@@ -165,6 +165,27 @@ object CocoOps {
       .select("id", "imageId", "categoryId", "segmentation", "bbox", "area", "iscrowd")
       .as[CocoAnnotation]
 
-    CocoTables(images, annotations, newCats.as[CocoCategory])
+    // envelope carry (batch_geojson2coco.py:464-476): "licenses" arrays are
+    // concatenated across datasets; "info"/"type"/other keys last-wins (the
+    // reference overwrites per iteration). Deviation noted: the reference
+    // silently drops a singular "license" key (its try/except reads only
+    // "licenses"); the engine carries it last-wins instead.
+    val extras = parts.map(_.extras).reduce { (a, b) =>
+      val mergedLicenses = (a.get("licenses"), b.get("licenses")) match {
+        case (Some(x), Some(y)) =>
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          val arr = m.createArrayNode()
+          Seq(x, y).foreach { s =>
+            val n = m.readTree(s)
+            if (n.isArray) arr.addAll(n.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode])
+            else arr.add(n)
+          }
+          Map("licenses" -> m.writeValueAsString(arr))
+        case _ => Map.empty[String, String]
+      }
+      a ++ b ++ mergedLicenses
+    }
+
+    CocoTables(images, annotations, newCats.as[CocoCategory], extras)
   }
 }

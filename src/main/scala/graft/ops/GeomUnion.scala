@@ -13,9 +13,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * cascaded union once the buffer exceeds `compactEvery` (bounding memory),
   * `merge` combines partial unions, `finish` performs the last union.
   *
-  * Determinism: JTS `UnaryUnionOp` is robust, but bit-identical output across
-  * partitionings needs a pinned merge order — buffers are sorted by WKB bytes
-  * before every compaction (SURVEY.md §7 hard-part 2).
+  * Determinism (SURVEY.md §7 hard-part 2, precisely stated): sorting each
+  * buffer by WKB bytes pins the merge order WITHIN a compaction, but the
+  * grouping of inputs into compactions still follows the partitioning, and
+  * GEOS union is float-sensitive to association — so output across different
+  * partitionings is topologically equal but not guaranteed bit-identical.
+  * Exact cross-run determinism holds when (a) the group fits one compaction
+  * (≤ `compactEvery` rows, the common per-class case), or (b) the caller
+  * fixes the partitioning. Downstream consumers (GeoJSON write, area
+  * oracles) depend only on the geometry, not the byte encoding.
   */
 class GeomUnionAgg(compactEvery: Int = 256)
     extends Aggregator[Array[Byte], Array[Array[Byte]], Array[Byte]] {

@@ -29,9 +29,30 @@ object CocoToGeojson {
       /** Layer CRS for the reference's regularisation hop: it reprojects to
         * EPSG:4326 before simplify/orthogonalise (tolerance is in degrees!)
         * and back (coco2geojson.py:342-353). "EPSG:3857" enables the
-        * closed-form hop; "EPSG:4326" means already lon/lat; None skips the
-        * hop (tolerance interpreted in layer units — documented deviation). */
+        * closed-form Mercator hop; "EPSG:326xx"/"EPSG:327xx" (UTM zone xx
+        * north/south — the reference's own common raster CRS,
+        * coordinates.py:56-71) the Transverse-Mercator hop; "EPSG:4326"
+        * means already lon/lat; None skips the hop (tolerance interpreted
+        * in layer units — documented deviation). */
       layerCrs: Option[String] = None)
+
+  /** (toLonLat, fromLonLat) vertex transforms for a layer CRS, or identity
+    * when the CRS is unknown/absent. */
+  private[pipeline] def crsHop(layerCrs: Option[String])
+      : ((Double, Double) => (Double, Double), (Double, Double) => (Double, Double)) = {
+    val Utm = "EPSG:32([67])([0-9]{2})".r
+    layerCrs match {
+      case Some("EPSG:3857") =>
+        ((x, y) => (graft.geo.Proj.invMercatorLon(x), graft.geo.Proj.invMercatorLat(y)),
+         (lon, lat) => (graft.geo.Proj.mercatorX(lon), graft.geo.Proj.mercatorY(lat)))
+      case Some(Utm(hemi, zoneS)) =>
+        val zone = zoneS.toInt
+        val north = hemi == "6"
+        ((e, n) => { val (lat, lon) = graft.geo.Proj.utmInverse(e, n, zone, north); (lon, lat) },
+         (lon, lat) => graft.geo.Proj.utmForward(lat, lon, zone, north))
+      case _ => ((x, y) => (x, y), (x, y) => (x, y))
+    }
+  }
 
   def run(tables: Coco.CocoTables, tiles: Dataset[TileMeta], p: Params): DataFrame = {
     val spark = tables.annotations.sparkSession
@@ -82,19 +103,12 @@ object CocoToGeojson {
       .agg(GeomUnionAgg.union(col("wkb")).as("uwkb"))
 
     // CRS hop for regularisation (reference semantics: tolerance in degrees)
+    val (toLL, fromLL) = crsHop(p.layerCrs)
     val toLonLat: org.locationtech.jts.geom.Geometry => org.locationtech.jts.geom.Geometry =
-      p.layerCrs match {
-        case Some("EPSG:3857") => g => transformCoords(g,
-          (x, y) => (graft.geo.Proj.invMercatorLon(x), graft.geo.Proj.invMercatorLat(y)))
-        case _ => identity
-      }
+      g => transformCoords(g, toLL)
     val fromLonLat: org.locationtech.jts.geom.Geometry => org.locationtech.jts.geom.Geometry =
-      p.layerCrs match {
-        case Some("EPSG:3857") => g => transformCoords(g,
-          (lon, lat) => (graft.geo.Proj.mercatorX(lon), graft.geo.Proj.mercatorY(lat)))
-        case _ => identity
-      }
-    val hop = p.layerCrs.isDefined &&
+      g => transformCoords(g, fromLL)
+    val hop = p.layerCrs.exists(_ != "EPSG:4326") &&
       (p.simplifyTolerance > 0 || p.orthogonalise || p.minimumRotatedRectangle)
 
     val parts = unioned.mapPartitions { it =>

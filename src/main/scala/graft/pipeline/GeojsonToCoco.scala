@@ -126,6 +126,9 @@ object GeojsonToCoco {
     Coco.CocoTables(
       spark.createDataset(images),
       anns,
-      spark.createDataset(categories.toSeq))
+      spark.createDataset(categories.toSeq),
+      // reference writes an MIT default when no license is supplied
+      // (scripts/geojson2coco.py:222-228)
+      extras = Map("license" -> Coco.DefaultLicenseJson))
   }
 }

@@ -28,12 +28,29 @@ class LakeSpec extends SparkSpec {
     val lake = freshLake()
     lake.writeSnapshot((1 to 10).map(i => (i.toLong, s"k$i")).toDF("id", "v"), "t", Seq("id"))
     lake.writeSnapshot((100 to 110).map(i => (i.toLong, s"k$i")).toDF("id", "v"), "t", Seq("id"))
-    // numeric-as-string stats: use zero-padded compare domain — here ids of
-    // equal digit count within each snapshot keep lexicographic == numeric
     val pruned = lake.readTable("t", prune = Some(("id", "100", "105")))
     assert(pruned.count() == 11) // only snapshot 1 scanned (its full rows)
     val all = lake.readTable("t")
     assert(all.count() == 21)
+  }
+
+  test("numeric stats compare numerically, not lexicographically ('9' < '10')") {
+    val spark2 = spark
+    import spark2.implicits._
+    val lake = freshLake()
+    // snapshot with ids 5..9: lexicographic "9" > "10" would wrongly prune
+    // it for the range [10, 20] lower bound check's dual — and wrongly KEEP
+    // checks like max "9" >= lo "10". Assert both directions.
+    lake.writeSnapshot((5 to 9).map(i => (i.toLong, s"k$i")).toDF("id", "v"), "t", Seq("id", "v"))
+    lake.writeSnapshot((10 to 20).map(i => (i.toLong, s"k$i")).toDF("id", "v"), "t", Seq("id", "v"))
+    // [9, 9] must scan snapshot 0 only (lexicographic min "10" <= "9" would
+    // have also scanned snapshot 1)
+    assert(lake.readTable("t", prune = Some(("id", "9", "9"))).count() == 5)
+    // [10, 12] must scan snapshot 1 (lexicographic max "9" < lo "10" holds
+    // numerically too, but "9" >= "10" lexicographically would keep snap 0)
+    assert(lake.readTable("t", prune = Some(("id", "10", "12"))).count() == 11)
+    // string stats still compare lexicographically
+    assert(lake.readTable("t", prune = Some(("v", "k10", "k12"))).count() == 11)
   }
 
   test("runStage is idempotent: resume skips completed stages (O9)") {

@@ -126,4 +126,30 @@ class RoundTripSpec extends SparkSpec {
     assert(a0.segmentation.toSeq == orig.segmentation.toSeq)
     assert(a0.area == orig.area && a0.bbox.toSeq == orig.bbox.toSeq)
   }
+
+  test("envelope: license/info carried verbatim; nested segmentation round-trips") {
+    // pipeline attaches the reference's MIT default license
+    assert(tables.extras("license") == Coco.DefaultLicenseJson)
+    val doc = Coco.toJsonDocument(tables.copy(
+        extras = tables.extras + ("info" -> """{"year":2020,"description":"d"}""")),
+      nestedSegmentation = true)
+    // nested write: segmentation is a list of lists (batch_geojson2coco.py:436-441)
+    assert(doc.contains("\"segmentation\":[["))
+    val tmp = java.nio.file.Files.createTempFile("cocoNested", ".json")
+    java.nio.file.Files.writeString(tmp, doc)
+    val back = Coco.read(spark, tmp.toString)
+    // extras preserved byte-for-byte through write → read
+    assert(back.extras("license") == Coco.DefaultLicenseJson)
+    assert(back.extras("info") == """{"year":2020,"description":"d"}""")
+    // nested segmentation flattens back to the engine's flat ring layout
+    val a0 = back.annotations.collect().minBy(_.id)
+    val orig = tables.annotations.collect().minBy(_.id)
+    assert(a0.segmentation.toSeq == orig.segmentation.toSeq)
+    // concat carries licenses (array merge) and last-wins info
+    val t1 = tables.copy(extras = Map("licenses" -> """[{"id":1}]""", "info" -> """{"v":1}"""))
+    val t2 = tables.copy(extras = Map("licenses" -> """[{"id":2}]""", "info" -> """{"v":2}"""))
+    val merged = graft.ops.CocoOps.concat(Seq(t1, t2)).extras
+    assert(merged("licenses") == """[{"id":1},{"id":2}]""")
+    assert(merged("info") == """{"v":2}""")
+  }
 }
