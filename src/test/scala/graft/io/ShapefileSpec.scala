@@ -1,0 +1,75 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.geo.JtsGeo
+import org.locationtech.jts.geom.Coordinate
+
+class ShapefileSpec extends SparkSpec {
+
+  val gf = JtsGeo.factory
+
+  def polyWithHole = {
+    val shell = gf.createLinearRing(Array(
+      new Coordinate(0, 0), new Coordinate(10, 0), new Coordinate(10, 10),
+      new Coordinate(0, 10), new Coordinate(0, 0)))
+    val hole = gf.createLinearRing(Array(
+      new Coordinate(2, 2), new Coordinate(4, 2), new Coordinate(4, 4),
+      new Coordinate(2, 4), new Coordinate(2, 2)))
+    gf.createPolygon(shell, Array(hole))
+  }
+
+  def multi = gf.createMultiPolygon(Array(
+    JtsGeo.box(20, 20, 30, 30), JtsGeo.box(40, 40, 45, 45)))
+
+  test("write → parse round trip: polygon with hole + multipolygon + attributes") {
+    val tmp = java.nio.file.Files.createTempDirectory("shp")
+    Shapefile.write(s"$tmp/layer",
+      Seq(polyWithHole -> Map("class" -> "building", "height" -> "12"),
+        multi -> Map("class" -> "road", "height" -> "")),
+      fields = Seq("class" -> 16, "height" -> 8))
+    val shpBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/layer.shp"))
+    val geoms = Shapefile.parseShp(shpBytes)
+    assert(geoms.length == 2)
+    assert(geoms(0).getArea == 100.0 - 4.0, "hole must subtract")
+    assert(geoms(0).equalsTopo(polyWithHole))
+    assert(geoms(1).getNumGeometries == 2 && geoms(1).getArea == 125.0)
+    val dbfBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/layer.dbf"))
+    val props = Shapefile.parseDbf(dbfBytes)
+    assert(props == Seq(
+      Map("class" -> "building", "height" -> "12"),
+      Map("class" -> "road", "height" -> "")))
+  }
+
+  test("distributed read pairs .shp with .dbf and assigns global featureIds") {
+    val tmp = java.nio.file.Files.createTempDirectory("shpread")
+    Shapefile.write(s"$tmp/a", Seq(polyWithHole -> Map("class" -> "building")),
+      fields = Seq("class" -> 16))
+    Shapefile.write(s"$tmp/b", Seq(multi -> Map("class" -> "road")),
+      fields = Seq("class" -> 16))
+    val feats = Shapefile.read(spark, tmp.toString).collect().sortBy(_.featureId)
+    assert(feats.length == 2)
+    assert(feats.map(_.featureId).toSeq == Seq(0L, 1L))
+    // (path, record) order: a.shp before b.shp
+    assert(feats.map(_.zoneName).toSeq == Seq("building", "road"))
+    assert(feats(0).props == Map("class" -> "building"))
+    assert(JtsGeo.fromWkb(feats(0).wkb).getArea == 96.0)
+    assert((feats(1).xmin, feats(1).ymax) == ((20.0, 45.0)))
+  }
+
+  test("point and polyline shape types parse") {
+    // hand-build a tiny .shp with one Point record
+    val b = java.nio.ByteBuffer.allocate(100 + 8 + 20)
+    b.order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.putInt(0, 9994); b.putInt(24, (100 + 28) / 2)
+    b.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(28, 1000); b.putInt(32, 1)
+    b.order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.position(100); b.putInt(1); b.putInt(10)
+    b.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(1); b.putDouble(3.5); b.putDouble(-7.25)
+    val geoms = Shapefile.parseShp(b.array())
+    assert(geoms.length == 1)
+    val p = geoms.head.asInstanceOf[org.locationtech.jts.geom.Point]
+    assert(p.getX == 3.5 && p.getY == -7.25)
+  }
+}
