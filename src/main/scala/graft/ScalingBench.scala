@@ -22,8 +22,12 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
+  /** SPARK_GRAFT_MASTER overrides the master — e.g.
+    * `local-cluster[4,8,8192]` for multi-JVM executor emulation where each
+    * "node" owns its own heap/GC/JIT (the closest this single VM gets to a
+    * real N vs 4N executor cluster). Default stays in-process local[N]. */
   private def session(cores: Int): SparkSession = SparkSession.builder()
-    .master(s"local[$cores]")
+    .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]"))
     .config("spark.sql.shuffle.partitions", cores)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

@@ -1,0 +1,85 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.ops.RasterTiles
+
+class GeoTiffSpec extends SparkSpec {
+
+  /** 64×48 3-band raster, pixel value = deterministic f(col,row,band). */
+  def pixels(w: Int, h: Int, bands: Int): Array[Byte] =
+    Array.tabulate(w * h * bands) { i =>
+      val p = i / bands; val b = i % bands
+      ((p * 31 + b * 97) % 256).toByte
+    }
+
+  val (w, h, bands) = (64, 48, 3)
+  val (pa, pc, pe, pf) = (2.0, 1000.0, -2.0, 2000.0)
+  lazy val tiffBytes = GeoTiff.write(w, h, bands, pixels(w, h, bands), pa, 0, pc, 0, pe, pf)
+
+  test("write → parse round trip preserves dimensions, affine, layout") {
+    val info = GeoTiff.parse(tiffBytes)
+    assert(info.width == w && info.height == h)
+    assert(info.samplesPerPixel == bands && info.bitsPerSample == 8)
+    assert((info.a, info.c, info.e, info.f) == ((pa, pc, pe, pf)))
+    assert(info.b == 0 && info.d == 0)
+    val full = GeoTiff.readWindow(tiffBytes, info, 0, 0, w, h)
+    assert(full.toSeq == pixels(w, h, bands).toSeq)
+  }
+
+  test("window read copies the exact pixel rectangle (tiles.py:126)") {
+    val info = GeoTiff.parse(tiffBytes)
+    val win = GeoTiff.readWindow(tiffBytes, info, 10, 20, 5, 4)
+    val all = pixels(w, h, bands)
+    for (r <- 0 until 4; cc <- 0 until 5; b <- 0 until bands) {
+      val expect = all(((20 + r) * w + 10 + cc) * bands + b)
+      assert(win((r * 5 + cc) * bands + b) == expect, s"($cc,$r,$b)")
+    }
+  }
+
+  test("jdk PNG sidecar: colour keeps band values; grayscale is truncating mean") {
+    val info = GeoTiff.parse(tiffBytes)
+    val full = GeoTiff.readWindow(tiffBytes, info, 0, 0, w, h)
+    val png = GeoTiff.toPng(full, w, h, bands, 3, colour = true)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == w && img.getHeight == h)
+    val rgb0 = img.getRGB(1, 2)
+    val o = (2 * w + 1) * bands
+    assert(((rgb0 >> 16) & 0xFF) == (full(o) & 0xFF))
+    assert(((rgb0 >> 8) & 0xFF) == (full(o + 1) & 0xFF))
+    assert((rgb0 & 0xFF) == (full(o + 2) & 0xFF))
+    val gray = GeoTiff.toPng(full, w, h, bands, 3, colour = false)
+    val gimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gray))
+    val expect = ((full(o) & 0xFF) + (full(o + 1) & 0xFF) + (full(o + 2) & 0xFF)) / 3
+    assert(gimg.getRaster.getSample(1, 2, 0) == expect)
+  }
+
+  test("distributed cutTiles: payload windows + shifted affines + png sidecars") {
+    val tmp = java.nio.file.Files.createTempDirectory("tiffs")
+    java.nio.file.Files.write(tmp.resolve("r1.tif"), tiffBytes)
+    val metas = RasterTiles.metaTable(spark, tmp.toString).collect()
+    assert(metas.length == 1 && metas.head.width == w && metas.head.a == pa)
+
+    val tiles = RasterTiles.cutTiles(spark, tmp.toString, 32, 32).cache()
+    val rows = tiles.collect().sortBy(r => (r.getInt(2), r.getInt(3)))
+    // 64×48 in 32×32 tiles → 2 cols × 2 rows (last row 16 px tall)
+    assert(rows.length == 4)
+    assert(rows.map(r => (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toSeq ==
+      Seq((0, 0, 32, 32), (0, 32, 32, 16), (32, 0, 32, 32), (32, 32, 32, 16)))
+    // tile (32,0): affine c shifted by 32 pixels, payload matches source window
+    val t = rows(2)
+    assert(t.getDouble(8) == pc + pa * 32) // c column
+    val tileTiff = t.getAs[Array[Byte]](12)
+    val ti = GeoTiff.parse(tileTiff)
+    val tp = GeoTiff.readWindow(tileTiff, ti, 0, 0, 32, 32)
+    val all = pixels(w, h, bands)
+    for (cc <- 0 until 32; b <- 0 until bands)
+      assert(tp(cc * bands + b) == all((32 + cc) * bands + b), s"col $cc band $b")
+
+    val withPng = RasterTiles.pngSidecars(tiles).collect()
+    assert(withPng.forall { r =>
+      val png = r.getAs[Array[Byte]](13)
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      im.getWidth == r.getInt(4) && im.getHeight == r.getInt(5)
+    })
+  }
+}
