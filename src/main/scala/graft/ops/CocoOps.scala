@@ -144,10 +144,12 @@ object CocoOps {
     val catByName = allCats
       .groupBy("name").agg(min(struct(col("ds"), col("id"))).as("first"),
         first(col("supercategory")).as("supercategory"))
-    val newCats = catByName
-      .withColumn("newId",
-        (row_number().over(Window.orderBy(col("first.ds"), col("first.id"))) - 1))
-      .select(col("newId").as("id"), col("name"), col("supercategory"))
+      .withColumn("ds0", col("first.ds")).withColumn("id0", col("first.id"))
+    // dense ids without a global window (categories are usually dim-sized,
+    // but a no-partition row_number still single-partitions and warns)
+    val newCats = Ids.denseId(catByName, "newId", Seq("ds0", "id0"))
+      .withColumn("id", col("newId").cast("int"))
+      .select(col("id"), col("name"), col("supercategory"))
     val catRemap = allCats.select(col("ds").as("rds"), col("id").as("oldId"), col("name"))
       .join(newCats.select(col("name"), col("id").as("newCatId")), "name")
       .select("rds", "oldId", "newCatId")

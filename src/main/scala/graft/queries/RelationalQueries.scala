@@ -109,11 +109,13 @@ object RelationalQueries {
     }),
 
     // A1 first-appearance factorization (coco.py:105-106 semantics: ids by
-    // first occurrence in doc_id order)
+    // first occurrence in doc_id order). Ids via denseId — even a dim-sized
+    // global row_number window would single-partition and warn.
     "q10_factorize" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .groupBy("lang").agg(min("doc_id").as("first_id"))
-        .withColumn("class_id", row_number().over(Window.orderBy("first_id")) - 1)
+      graft.ops.Ids.denseId(
+          t(s, dir, "documents").groupBy("lang").agg(min("doc_id").as("first_id")),
+          "class_id", Seq("first_id"))
+        .withColumn("class_id", col("class_id").cast("int"))
         .select("lang", "class_id")
         .orderBy("class_id")
     }),
@@ -122,8 +124,8 @@ object RelationalQueries {
     "q11_freq_rank" -> ((s, dir) => {
       val freq = t(s, dir, "lineitem").groupBy("l_partkey").agg(count(lit(1)).as("freq"))
       val n = freq.count()
-      val w = Window.orderBy(col("freq").asc, col("l_partkey").asc)
-      freq.withColumn("rn", row_number().over(w))
+      graft.ops.Ids.denseId(freq, "rn0", Seq("freq", "l_partkey"))
+        .withColumn("rn", (col("rn0") + 1).cast("int")).drop("rn0")
         .where(col("rn") === 1 || col("rn") === (n / 2) || col("rn") === n)
         .select("l_partkey", "freq", "rn")
         .orderBy("rn")
