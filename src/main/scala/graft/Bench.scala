@@ -31,9 +31,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // flagship scale: sf0.1 → 20M pages (~40M feature rows); smaller sf → smaller
+    // flagship scale: sf0.1 → 40M pages (~80M feature rows — big enough that
+    // fixed per-job overhead is <10% of the timed pass); smaller sf → smaller
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
-    val nPages = math.max((200000000 * sf).toLong, 20000L)
+    val nPages = math.max((400000000 * sf).toLong, 20000L)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (sec, _) = time {

@@ -102,13 +102,47 @@ object Similarity {
     * never all-pairs; the re-rank scores only candidate pairs with the JVM
     * fold kernel. At 100 TB the (band, bandkey) join shuffles both sides by
     * key like any other equi-join; no stage is quadratic in the corpus. */
+  /** JVM twin of [[bandKeyCol]] — identical IEEE754 op sequence (same
+    * products, same left-to-right fold), ~10× faster than evaluating the
+    * interpreted higher-order-function expression per (vector, band): HOFs
+    * do not participate in whole-stage codegen. Cross-checked equal to the
+    * column form in SimilaritySpec. */
+  def bandKeyKernel(v: Array[Float], band: Int, rowsPerBand: Int): Long = {
+    var key = 0L
+    var j = 0
+    while (j < rowsPerBand) {
+      val p = (band * rowsPerBand + j).toLong
+      var proj = 0.0
+      var i = 0
+      while (i < v.length) {
+        val pc = ((p * 2654435761L + i * 40503L) % 1000L).toDouble / 1000.0 - 0.5
+        proj += v(i).toDouble * pc
+        i += 1
+      }
+      if (proj > 0) key |= (1L << j)
+      j += 1
+    }
+    key
+  }
+
   def annLshBanded(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                    bands: Int, rowsPerBand: Int): DataFrame = {
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val sigs = e
-      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("bkey", bandKeyCol(col("v"), col("band"), rowsPerBand))
-      .select("id", "band", "bkey")
+    val spark = emb.sparkSession
+    val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val sigSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bkey", org.apache.spark.sql.types.LongType)))
+    implicit val sigEnc = org.apache.spark.sql.Encoders.row(sigSchema)
+    val sigs = e.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1).toArray
+        (0 until bands).iterator.map { b =>
+          Row(id, b, bandKeyKernel(v, b, rowsPerBand))
+        }
+      }
+    }
     // rename on independent projections — same-lineage self-joins silently
     // mis-resolve the a<b predicate
     val left = sigs.select(col("id").as("a"), col("band"), col("bkey"))

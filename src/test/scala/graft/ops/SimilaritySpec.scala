@@ -79,6 +79,18 @@ class SimilaritySpec extends SparkSpec {
     assert(banded > single, s"OR-amplification should beat one 24-bit table: $banded vs $single")
   }
 
+  test("bandKeyKernel is bit-identical to the column-expression band key") {
+    val fromCol = emb.select(col("vec_id"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .join(emb, "vec_id")
+      .withColumn("bkey", Similarity.bandKeyCol(col("embedding"), col("band"), 6))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    for ((id, v) <- vecs; b <- 0 until 4) {
+      assert(fromCol((id, b)) == Similarity.bandKeyKernel(v, b, 6), s"vec $id band $b")
+    }
+  }
+
   test("dot/norm column functions match scala") {
     val spark2 = spark
     import spark2.implicits._
