@@ -11,14 +11,79 @@ import org.apache.spark.sql.types._
   * batch shape: one task processes an iterator of rows, vectorizable
   * libraries plug in per partition).
   *
-  * No image/audio codec exists in this container, so the DECODE step is a
-  * clearly-marked deterministic fake (`FakeCodec`): it reads a tiny
-  * fixed-layout header from the payload bytes. Everything around it —
-  * schema, partitioning, batch iteration, metadata propagation — is real
-  * and tested; swapping `FakeCodec` for javacv/ffmpeg is a one-function
-  * change.
+  * The IMAGE modality decodes for real: the JDK ships PNG/JPEG codecs
+  * (javax.imageio), so [[JdkImage]] does actual decode / resample /
+  * channel-stat extraction on payload bytes. No video/audio codec exists in
+  * this container, so the VIDEO decode step remains a clearly-marked
+  * deterministic fake (`FakeCodec`, fixed-layout header); everything around
+  * it — schema, partitioning, batch iteration, metadata propagation — is
+  * real and tested; swapping `FakeCodec` for javacv/ffmpeg is a
+  * one-function change.
   */
 object Multimodal {
+
+  /** REAL image codec over the JDK's ImageIO (PNG/JPEG/BMP/GIF). */
+  object JdkImage {
+    def decode(payload: Array[Byte]): java.awt.image.BufferedImage =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Deterministic synthetic PNG: pixel = f(id, x, y). */
+    def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (((v * 3) % 256) << 8) | ((v * 5) % 256))
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(img)
+    }
+
+    /** Real resample keeping aspect, bounded by maxSide; re-encoded PNG. */
+    def resize(payload: Array[Byte], maxSide: Int): Array[Byte] = {
+      val img = decode(payload)
+      val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+      if (scale >= 1.0) return payload
+      val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+        math.max(1, (img.getHeight * scale).toInt))
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = out.createGraphics()
+      g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+      g.dispose()
+      encodePng(out)
+    }
+
+    /** Mean R/G/B over the decoded pixels — the feature-extract stage with
+      * a real decoder behind it. */
+    def channelMeans(payload: Array[Byte]): Array[Double] = {
+      val img = decode(payload)
+      var (r, gSum, b) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xFF; gSum += (p >> 8) & 0xFF; b += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = img.getWidth.toLong * img.getHeight
+      Array(r.toDouble / n, gSum.toDouble / n, b.toDouble / n)
+    }
+  }
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType), StructField("kind", StringType),
@@ -55,6 +120,79 @@ object Multimodal {
       (id, if (id % 3 == 0) "video" else "image",
         FakeCodec.encode(w, h, frames, body))
     }.toDF("media_id", "kind", "payload")
+  }
+
+  /** Deterministic synthetic media table with REAL PNG image payloads
+    * (video payloads keep the fake-codec layout — no video codec here). */
+  def syntheticMediaPng(spark: org.apache.spark.sql.SparkSession, n: Long,
+                        parts: Int = 8): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, parts).map { id =>
+      val w = 16 + (id % 8).toInt * 4
+      val h = 12 + (id % 5).toInt * 4
+      if (id % 3 == 0) {
+        val body = Array.tabulate((id % 50).toInt + 10)(i => ((id * 31 + i) % 256).toByte)
+        (id, "video", FakeCodec.encode(w, h, 1 + (id % 4).toInt, body))
+      } else (id, "image", JdkImage.syntheticPng(id, w, h))
+    }.toDF("media_id", "kind", "payload")
+  }
+
+  /** DECODE stage with the real image codec: PNG/JPEG payloads decode via
+    * ImageIO (frames = 1); video payloads go through the documented fake. */
+  def decodeMetaReal(media: DataFrame): DataFrame = {
+    val schema = StructType(media.schema.fields :+ StructField("meta", StructType(Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("frames", IntegerType)))))
+    val pIdx = media.schema.fieldIndex("payload")
+    val kIdx = media.schema.fieldIndex("kind")
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val meta = r.getString(kIdx) match {
+          case "image" =>
+            val img = JdkImage.decode(payload)
+            Row(img.getWidth, img.getHeight, 1)
+          case _ =>
+            val (w, h, f) = FakeCodec.decodeDims(payload)
+            Row(w, h, f)
+        }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+  }
+
+  /** RESIZE stage with real payload rewrite for images (area-averaging
+    * resample, PNG re-encode); video rows pass through untouched. */
+  def resizePayload(media: DataFrame, maxSide: Int): DataFrame = {
+    val pIdx = media.schema.fieldIndex("payload")
+    val kIdx = media.schema.fieldIndex("kind")
+    implicit val enc = org.apache.spark.sql.Encoders.row(media.schema)
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.getString(kIdx) == "image") {
+          val resized = JdkImage.resize(r.getAs[Array[Byte]](pIdx), maxSide)
+          Row.fromSeq(r.toSeq.updated(pIdx, resized))
+        } else r
+      }
+    }
+  }
+
+  /** FEATURE stage with a real decoder: mean R/G/B per image payload. */
+  def channelStats(media: DataFrame): DataFrame = {
+    val schema = media.schema.add("rgb_mean", ArrayType(DoubleType))
+    val pIdx = media.schema.fieldIndex("payload")
+    val kIdx = media.schema.fieldIndex("kind")
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.mapPartitions { it =>
+      it.map { r =>
+        val means =
+          if (r.getString(kIdx) == "image")
+            JdkImage.channelMeans(r.getAs[Array[Byte]](pIdx))
+          else null
+        Row.fromSeq(r.toSeq :+ means)
+      }
+    }
   }
 
   /** DECODE stage: binary payload → metadata struct (batch kernel over

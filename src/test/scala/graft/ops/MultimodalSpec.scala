@@ -37,6 +37,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real PNG modality: decode, resample, channel stats via the JDK codec") {
+    val png = Multimodal.syntheticMediaPng(spark, 60, parts = 4)
+    val d = Multimodal.decodeMetaReal(png)
+    assert(d.count() == 60)
+    // image dims come from the actual PNG header, not a fake layout
+    val r = d.where(col("media_id") === 1).select("meta.width", "meta.height").head
+    assert(r.getInt(0) == 16 + 1 * 4 && r.getInt(1) == 12 + 1 * 4)
+    // real resample: payload re-encoded, decoded dims shrink into the box
+    val resized = Multimodal.decodeMetaReal(
+      Multimodal.resizePayload(png, maxSide = 10))
+    val badRows = resized.where(col("kind") === "image" &&
+      (col("meta.width") > 10 || col("meta.height") > 10))
+    assert(badRows.isEmpty)
+    // channel means: synthetic pixel v has r=v, g=3v%256, b=5v%256 → means
+    // bounded in [0,255] and non-null for every image
+    val stats = Multimodal.channelStats(png).where(col("kind") === "image")
+      .select("rgb_mean").collect()
+    assert(stats.nonEmpty && stats.forall { row =>
+      val m = row.getSeq[Double](0)
+      m.length == 3 && m.forall(v => v >= 0 && v <= 255)
+    })
+    // videos keep the documented fake-codec path
+    assert(d.where(col("kind") === "video" && col("meta.frames") >= 1).count() ==
+      d.where(col("kind") === "video").count())
+  }
+
   test("fingerprint is deterministic across partitionings") {
     val a = Multimodal.fingerprint(media.repartition(2))
       .select("media_id", "fp").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
