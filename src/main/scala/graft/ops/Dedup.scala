@@ -32,12 +32,15 @@ object Dedup {
       docs.select(explode(split(col(textCol), " ")).as("token")).distinct(),
       "vid", Seq("token"))
 
-  /** Per-document distinct token vids: (id, vid). */
+  /** Per-document distinct token vids: (id, vid). The vocab join carries NO
+    * broadcast hint: at gate scale AQE converts it to a broadcast join from
+    * runtime stats, while a web-scale vocab (billions of tokens, far past
+    * any broadcast limit) shuffles both sides on `token` like any equi-join. */
   def docTokenVids(docs: DataFrame, idCol: String, textCol: String,
                    voc: DataFrame): DataFrame =
     docs.select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("token"))
       .distinct()
-      .join(broadcast(voc), "token")
+      .join(voc, "token")
       .select("id", "vid")
 
   /** MinHash signatures: numHashes universal-hash minima per doc.

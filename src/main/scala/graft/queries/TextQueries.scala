@@ -78,7 +78,7 @@ object TextQueries {
       val voc = Dedup.vocab(docs, "text")
       docs.select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
-        .join(broadcast(voc), "token")
+        .join(voc, "token") // no broadcast hint — AQE decides (vocab scales past broadcast limits)
         .groupBy("doc_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("vid")))).as("pv"))
         .select(col("doc_id"),

@@ -49,6 +49,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("banded-LSH candidate generation plans as an equi-join, never all-pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val df = graft.ops.Similarity.annLshBanded(emb, "vec_id", "embedding", 2, 4, 6)
+    df.collect() // settle AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs fallback detected:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("jaccard kept-gram self-join plans as an equi-join on gram") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (0 until 20).map(i => (i.toLong, s"a$i b$i c common d e")).toDF("doc_id", "text")
+    val df = graft.ops.Dedup.ngramJaccard(docs, "doc_id", "text", 3, dfCap = 5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("cell encode compiles to pure built-in expressions (no UDF in plan)") {
     val pts = WebPages.features(WebPages.pages(spark, 10, 1))
     val df = pts.select(CellIndex.Unit20.encodeCol(col("x"), col("y"), 10))
