@@ -190,6 +190,53 @@ object SpatialJoins {
       .drop("_cell", "_salt")
   }
 
+  /** Adaptive cell splitting (north_rule's second skew tool, complementing
+    * [[pointInBoxSalted]]): a cheap stats pass finds hot base-level cells;
+    * points inside them re-key at `fineLevel` (G12 hierarchy children) while
+    * everything else keeps the base key, and the box side subdivides its
+    * cover — only for hot cells — into the fine cells intersecting
+    * box ∩ baseCell. Identical output to [[pointInBox]] (spec-verified):
+    * every (point, box) pair meets on exactly one key — fine when the
+    * point's base cell is hot (the box emits that fine cell exactly once,
+    * clamped inside the base cell), base otherwise. A point-mass cell thus
+    * spreads over up to 4^(fineLevel−level) reducers, and unlike salting
+    * the box side replicates only over subcells it actually intersects. */
+  def pointInBoxAdaptive(points: DataFrame, boxes: DataFrame, ci: CellIndex,
+                         level: Int, fineLevel: Int,
+                         hotThreshold: Long = 2000000L): DataFrame = {
+    require(fineLevel > level, "fineLevel must subdivide level")
+    val k = 1L << (fineLevel - level)
+    val p0 = points.withColumn("_c0", ci.encodeCol(col("x"), col("y"), level))
+    val hot = p0.groupBy("_c0").count().where(col("count") > hotThreshold)
+      .select(col("_c0"), lit(true).as("_hot"))
+    val p = p0.join(broadcast(hot), Seq("_c0"), "left")
+      .withColumn("_cell", when(col("_hot").isNotNull,
+        ci.encodeCol(col("x"), col("y"), fineLevel)).otherwise(col("_c0")))
+      .drop("_c0", "_hot")
+    val b0 = boxes
+      .withColumn("_bc", explode(sequence(
+        ci.colOfCol(col("xmin"), level), ci.colOfCol(col("xmax"), level))))
+      .withColumn("_br", explode(sequence(
+        ci.rowOfCol(col("ymin"), level), ci.rowOfCol(col("ymax"), level))))
+      .withColumn("_c0", CellIndex.packCol(level, col("_bc"), col("_br")))
+    // fine columns/rows of the box cover clamped INSIDE this base cell —
+    // spilling into a neighbour's subcells would double-emit pairs there
+    val fc0 = greatest(ci.colOfCol(col("xmin"), fineLevel), col("_bc") * k)
+    val fc1 = least(ci.colOfCol(col("xmax"), fineLevel), (col("_bc") + 1) * k - 1)
+    val fr0 = greatest(ci.rowOfCol(col("ymin"), fineLevel), col("_br") * k)
+    val fr1 = least(ci.rowOfCol(col("ymax"), fineLevel), (col("_br") + 1) * k - 1)
+    val b = b0.join(broadcast(hot), Seq("_c0"), "left")
+      .withColumn("_cell", explode(when(col("_hot").isNotNull,
+          flatten(transform(sequence(fc0, fc1), c =>
+            transform(sequence(fr0, fr1), r => CellIndex.packCol(fineLevel, c, r)))))
+        .otherwise(array(col("_c0")))))
+      .drop("_c0", "_bc", "_br", "_hot")
+    p.join(b, Seq("_cell"))
+      .where(col("xmin") <= col("x") && col("x") < col("xmax") &&
+             col("ymin") <= col("y") && col("y") < col("ymax"))
+      .drop("_cell")
+  }
+
   /** Envelope-intersects range join (reference J7, batch_geojson2coco.py:118)
     * via the same cell decomposition. Both sides carry envelopes; the left
     * side's cover is exploded, the right side joins on its own cover — pairs

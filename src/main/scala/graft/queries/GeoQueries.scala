@@ -148,6 +148,18 @@ object GeoQueries {
         .orderBy("doc_id", "poly_id")
     }),
 
+    // J1 + the north_rule's second skew tool: adaptive cell splitting (hot
+    // base cells re-keyed at a finer G12 level) — identical join output,
+    // oracle shared with q14
+    "q38_pip_adaptive" -> ((s, dir) => {
+      val pts = docPoints(t(s, dir, "documents"))
+      val zones = WebPages.zones(s).drop("wkb")
+      SpatialJoins.pointInBoxAdaptive(pts, zones, ci, level = 5, fineLevel = 7,
+          hotThreshold = 2)
+        .select("doc_id", "poly_id")
+        .orderBy("doc_id", "poly_id")
+    }),
+
     // P7: spherical-Mercator forward projection. Transcendental outputs
     // (ln/tan) differ between JVM and DuckDB libm in the last ulp, and
     // rounding cannot save a value straddling a rounding boundary — so the
@@ -221,6 +233,11 @@ object GeoQueries {
          ON x0 <= px AND px < x1 AND y0 <= py AND py < y1
          ORDER BY doc_id, poly_id""",
     "q31_pip_salted" ->
+      s"""WITH $docPtsSql, $zonesSql
+         SELECT doc_id, poly_id FROM pts JOIN zs
+         ON x0 <= px AND px < x1 AND y0 <= py AND py < y1
+         ORDER BY doc_id, poly_id""",
+    "q38_pip_adaptive" ->
       s"""WITH $docPtsSql, $zonesSql
          SELECT doc_id, poly_id FROM pts JOIN zs
          ON x0 <= px AND px < x1 AND y0 <= py AND py < y1

@@ -90,6 +90,32 @@ class SpatialJoinsSpec extends SparkSpec {
     assert(dup.isEmpty)
   }
 
+  test("pointInBoxAdaptive output is identical to pointInBox under heavy skew") {
+    val spark2 = spark
+    import spark2.implicits._
+    val skewed = (0 until 3000).map(i => (i.toLong, 1000.0 + i % 50, 2000.0 + i % 40)) ++
+      (0 until 200).map(i => (3000L + i, (i * 5237.0) % 1000000, (i * 7919.0) % 1000000))
+    val pts2 = skewed.toDF("pid", "x", "y")
+    val plain = SpatialJoins.pointInBox(pts2, zones.drop("wkb"), ci, 5)
+      .select("pid", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // active splitting (threshold below the point mass), two fine levels
+    for (fine <- Seq(7, 9)) {
+      val adaptive = SpatialJoins.pointInBoxAdaptive(pts2, zones.drop("wkb"), ci,
+        level = 5, fineLevel = fine, hotThreshold = 100)
+        .select("pid", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(adaptive == plain && plain.nonEmpty, s"fine=$fine")
+    }
+    // no duplicate emission even when a box spans hot AND cold base cells
+    val dup = SpatialJoins.pointInBoxAdaptive(pts2, zones.drop("wkb"), ci, 5, 7, 100)
+      .groupBy("pid", "poly_id").count().where(col("count") > 1)
+    assert(dup.isEmpty)
+    // inactive splitting (threshold above everything) also matches
+    val inactive = SpatialJoins.pointInBoxAdaptive(pts2, zones.drop("wkb"), ci, 5, 7,
+      hotThreshold = 100000)
+      .select("pid", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inactive == plain)
+  }
+
   test("envelopeJoin matches brute-force intersects, one row per pair") {
     val left = zones.select(col("poly_id").as("lid"), col("xmin").as("lxmin"),
       col("ymin").as("lymin"), col("xmax").as("lxmax"), col("ymax").as("lymax"))
