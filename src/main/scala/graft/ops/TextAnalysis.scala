@@ -16,6 +16,18 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer regex (BPE-ish), simplified to the subset
+    * both java.util.regex and RE2 (DuckDB) support — no lookahead, ASCII
+    * classes: contractions, space-prefixed letter runs, digit runs,
+    * punctuation runs, residual spaces. Cross-engine agreement is
+    * oracle-gated (q39). */
+  val BpeishPattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
   /** Occurrences of `sub` by the length-difference trick (same trick is
     * SQL-portable to the oracle). Counts overlapping-free left-to-right
     * matches, substring-level (may match inside words — deterministic). */

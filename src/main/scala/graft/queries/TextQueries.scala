@@ -23,6 +23,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE-ish regex tokenizer (GPT-2-style pre-tokenizer subset); the text
+    // gains deterministic punctuation/contractions/digits in-query so the
+    // regex actually has boundaries to find
+    "q39_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("t2", regexp_replace(col("text"), " a ", ", it's 42 "))
+        .select(col("doc_id"),
+          TextAnalysis.bpeishTokenCount(col("t2")).as("n_bpe"),
+          TextAnalysis.tokenCount(col("t2")).as("n_ws"))
+        .orderBy("doc_id")
+    }),
+
     "q23_quality" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val cols = TextAnalysis.qualityCols(col("text")).map { case (n, c) => c.as(n) }
@@ -109,6 +121,13 @@ object TextQueries {
     "q22_tokens" ->
       """SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens
          FROM documents ORDER BY doc_id""",
+    "q39_bpe_tokens" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(t2,
+             '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS INTEGER) AS n_bpe,
+           CAST(len(string_split(t2, ' ')) AS INTEGER) AS n_ws
+         FROM (SELECT doc_id, replace(text, ' a ', ', it''s 42 ') AS t2 FROM documents)
+         ORDER BY doc_id""",
     "q23_quality" ->
       """SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
