@@ -38,6 +38,15 @@ object SimilarityQueries {
       Similarity.annLshBanded(t(s, dir, "embeddings"), "vec_id", "embedding", 2,
           bands = AnnBands, rowsPerBand = AnnRowsPerBand)
         .orderBy("qid", "rnk")
+    }),
+
+    // embedding-cosine near-dup: exact threshold pairs within label blocks
+    // (τ = 0.25, a binary-exact constant; cos values are bit-identical
+    // across engines, so the >= comparison is too)
+    "q40_embed_neardup" -> ((s, dir) => {
+      graft.ops.Dedup.embeddingNearDup(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", tau = 0.25)
+        .orderBy("a", "b")
     })
   )
 
@@ -78,6 +87,15 @@ object SimilarityQueries {
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, pid ASC) AS rn
             FROM pairs)
          WHERE rn <= 2 ORDER BY qid, rnk""",
+    "q40_embed_neardup" ->
+      s"""WITH $eSql
+         SELECT a, b, cos FROM
+           (SELECT a.vec_id AS a, b.vec_id AS b,
+              list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x,y) -> x + y)
+                / (a.n * b.n) AS cos
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         WHERE cos >= 0.25 ORDER BY a, b""",
     "q37_ann_lsh" ->
       s"""WITH $eSql,
          sigs AS ($sigsSql),
