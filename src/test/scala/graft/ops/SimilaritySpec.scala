@@ -79,6 +79,20 @@ class SimilaritySpec extends SparkSpec {
     assert(banded > single, s"OR-amplification should beat one 24-bit table: $banded vs $single")
   }
 
+  test("annIvf recall@3 is high with a few probes on clustered data") {
+    val expect = bruteTopK(3)
+    val got = Similarity.annIvf(emb, "vec_id", "embedding", 3, nLists = 12, nProbe = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = expect.toSeq.map { case (q, ids) =>
+      got.get(q).map(g => ids.count(g.contains).toDouble / ids.size).getOrElse(0.0)
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.8, s"ivf recall@3 = $recall")
+    // candidates come only from probed lists — far fewer than all-pairs
+    assert(got.values.map(_.size).sum <= 200 * 3)
+  }
+
   test("bandKeyKernel is bit-identical to the column-expression band key") {
     val fromCol = emb.select(col("vec_id"),
         explode(sequence(lit(0), lit(3))).as("band"))
