@@ -53,6 +53,30 @@ class GeoTiffSpec extends SparkSpec {
     assert(gimg.getRaster.getSample(1, 2, 0) == expect)
   }
 
+  test("random windows equal the corresponding slice of the full raster") {
+    val info = GeoTiff.parse(tiffBytes)
+    val all = pixels(w, h, bands)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 30) {
+      val cw = 1 + rnd.nextInt(w); val ch = 1 + rnd.nextInt(h)
+      val co = rnd.nextInt(w - cw + 1); val ro = rnd.nextInt(h - ch + 1)
+      val win = GeoTiff.readWindow(tiffBytes, info, co, ro, cw, ch)
+      assert(win.length == cw * ch * bands)
+      for (r <- 0 until ch; cc <- 0 until cw; b <- 0 until bands) {
+        assert(win((r * cw + cc) * bands + b) == all(((ro + r) * w + co + cc) * bands + b),
+          s"window ($co,$ro,$cw,$ch) at ($cc,$r,$b)")
+      }
+    }
+  }
+
+  test("single-band grayscale raster round-trips") {
+    val gray = GeoTiff.write(20, 10, 1, pixels(20, 10, 1), 1.0, 0, 0.0, 0, -1.0, 10.0)
+    val info = GeoTiff.parse(gray)
+    assert(info.samplesPerPixel == 1 && info.width == 20 && info.height == 10)
+    assert(GeoTiff.readWindow(gray, info, 3, 2, 5, 4).toSeq ==
+      (for (r <- 2 until 6; c <- 3 until 8) yield pixels(20, 10, 1)(r * 20 + c)).toSeq)
+  }
+
   test("distributed cutTiles: payload windows + shifted affines + png sidecars") {
     val tmp = java.nio.file.Files.createTempDirectory("tiffs")
     java.nio.file.Files.write(tmp.resolve("r1.tif"), tiffBytes)

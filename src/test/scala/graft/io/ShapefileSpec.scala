@@ -56,6 +56,42 @@ class ShapefileSpec extends SparkSpec {
     assert((feats(1).xmin, feats(1).ymax) == ((20.0, 45.0)))
   }
 
+  test("end-to-end: shapefile layer drives geojson2coco like any vector source") {
+    val tmp = java.nio.file.Files.createTempDirectory("shp2coco")
+    // two buildings + one road inside a 100×80 px, 2 m/px raster at (1000, 2000)
+    Shapefile.write(s"$tmp/layer", Seq(
+      JtsGeo.box(1010, 1930, 1050, 1970) -> Map("class" -> "building"),
+      JtsGeo.box(1070, 1930, 1090, 1950) -> Map("class" -> "road"),
+      JtsGeo.box(1010, 1850, 1030, 1870) -> Map("class" -> "building")),
+      fields = Seq("class" -> 16))
+    val feats = Shapefile.read(spark, tmp.toString)
+    val raster = graft.model.RasterMeta("r", 100, 80, 2.0, 0, 1000.0, 0, -2.0, 2000.0, "local")
+    val tables = graft.pipeline.GeojsonToCoco.run(feats, raster,
+      graft.pipeline.GeojsonToCoco.Params(tileWidth = 100, tileHeight = 80))
+    val cats = tables.categories.collect().sortBy(_.id)
+    assert(cats.map(c => (c.id, c.name)).toSeq == Seq((0, "building"), (1, "road")))
+    val anns = tables.annotations.collect().sortBy(_.id)
+    assert(anns.length == 3)
+    // first building: world box → pixel box cols 5..25, rows 15..35
+    assert(anns(0).bbox.toSeq == Seq(5.0, 15.0, 20.0, 20.0))
+    assert(anns(0).area == 400.0)
+  }
+
+  test("random boxes round-trip through the polygon record codec") {
+    val rnd = new scala.util.Random(42)
+    val polys = (0 until 25).map { _ =>
+      val x0 = rnd.nextDouble() * 1000; val y0 = rnd.nextDouble() * 1000
+      JtsGeo.box(x0, y0, x0 + 1 + rnd.nextDouble() * 500, y0 + 1 + rnd.nextDouble() * 500)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("shprand")
+    Shapefile.write(s"$tmp/r", polys.map(p => p -> Map("class" -> "c")),
+      fields = Seq("class" -> 4))
+    val back = Shapefile.parseShp(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/r.shp")))
+    assert(back.length == polys.length)
+    polys.zip(back).foreach { case (a, b) => assert(a.equalsTopo(b), s"$a vs $b") }
+  }
+
   test("point and polyline shape types parse") {
     // hand-build a tiny .shp with one Point record
     val b = java.nio.ByteBuffer.allocate(100 + 8 + 20)
