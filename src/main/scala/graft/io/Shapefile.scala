@@ -97,8 +97,10 @@ object Shapefile {
     val holeRings = if (shells.isEmpty) Seq.empty else holes.map(gf.createLinearRing)
     val polys = shellRings.map { shell =>
       val shellPoly = gf.createPolygon(shell)
+      // covers (not contains): a hole vertex lying ON the shell boundary
+      // must still assign the hole to that shell
       val mine = holeRings.filter(h =>
-        shellPoly.contains(gf.createPoint(h.getCoordinateN(0))) ||
+        shellPoly.covers(gf.createPoint(h.getCoordinateN(0))) ||
           shellPoly.getEnvelopeInternal.contains(h.getEnvelopeInternal) &&
             shellRings.length == 1)
       gf.createPolygon(shell, mine.toArray)
