@@ -47,6 +47,16 @@ object SimilarityQueries {
       graft.ops.Dedup.embeddingNearDup(t(s, dir, "embeddings"),
           "vec_id", "embedding", "label", tau = 0.25)
         .orderBy("a", "b")
+    }),
+
+    // IVF-Flat ANN: deterministic coarse quantizer (first-16-by-id
+    // centroids), nProbe=3 probed lists, exact re-rank — the oracle runs
+    // the identical algorithm (same centroid choice, same (cos desc, list
+    // asc) tie order, same folds) in DuckDB
+    "q41_ann_ivf" -> ((s, dir) => {
+      Similarity.annIvf(t(s, dir, "embeddings"), "vec_id", "embedding", 2,
+          nLists = 16, nProbe = 3)
+        .orderBy("qid", "rnk")
     })
   )
 
@@ -96,6 +106,33 @@ object SimilarityQueries {
                 / (a.n * b.n) AS cos
             FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          WHERE cos >= 0.25 ORDER BY a, b""",
+    "q41_ann_ivf" ->
+      s"""WITH $eSql,
+         c AS (SELECT vec_id, embedding, n,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS li
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+         sims AS (SELECT v.vec_id, c.li,
+             list_reduce(list_transform(list_zip(v.embedding, c.embedding),
+               l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x,y) -> x + y)
+               / (v.n * c.n) AS cos
+           FROM e v CROSS JOIN c),
+         ranked AS (SELECT vec_id, li,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, li ASC) AS rn
+           FROM sims),
+         assign AS (SELECT vec_id AS pid, li AS list FROM ranked WHERE rn = 1),
+         probes AS (SELECT vec_id AS qid, li AS list FROM ranked WHERE rn <= 3),
+         cand AS (SELECT p.qid, a.pid FROM probes p JOIN assign a
+           ON a.list = p.list AND a.pid <> p.qid),
+         scored AS (SELECT cand.qid, cand.pid,
+             list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+               l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x,y) -> x + y)
+               / (ea.n * eb.n) AS cos
+           FROM cand JOIN e ea ON ea.vec_id = cand.qid JOIN e eb ON eb.vec_id = cand.pid)
+         SELECT qid, CAST(rn AS INTEGER) AS rnk, pid, cos FROM
+           (SELECT qid, pid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, pid ASC) AS rn
+            FROM scored)
+         WHERE rn <= 2 ORDER BY qid, rnk""",
     "q37_ann_lsh" ->
       s"""WITH $eSql,
          sigs AS ($sigsSql),
