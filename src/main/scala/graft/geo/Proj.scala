@@ -28,6 +28,21 @@ object Proj {
 
   // ---------- UTM (Transverse Mercator, series to n^4) ----------
 
+  /** Geographic (degree-unit) CRS detection by FAMILY, not one literal
+    * code: a layer declared EPSG:4269 (NAD83), 4267 (NAD27), 4258 (ETRS89),
+    * 4283 (GDA94), 4759 (NAD83 NSRS2007), OGC:CRS84, or with a GEOGCS/
+    * GEOGCRS WKT body is in degrees exactly like EPSG:4326 and needs the
+    * same UTM-projected area measurement (coordinates.py:194-198 calls
+    * `estimate_utm_crs` for ANY geographic layer, not just 4326). */
+  def isGeographic(crs: String): Boolean = {
+    val c = crs.trim.toUpperCase
+    val geographicEpsg =
+      Set("4326", "4269", "4267", "4258", "4283", "4490", "4617", "4759")
+    c == "CRS84" || c == "OGC:CRS84" || c == "WGS84" ||
+      c.startsWith("GEOGCS") || c.startsWith("GEOGCRS") ||
+      geographicEpsg.exists(code => c == s"EPSG:$code")
+  }
+
   /** geopandas estimate_utm_crs rule: zone of the bounds centroid. */
   def estimateUtmZone(lonMin: Double, latMin: Double, lonMax: Double, latMax: Double): (Int, Boolean) = {
     val lon = (lonMin + lonMax) / 2; val lat = (latMin + latMax) / 2

@@ -47,6 +47,9 @@ object Coco {
     StructField("bbox", ArrayType(DoubleType)),
     StructField("area", DoubleType), StructField("iscrowd", IntegerType))))
 
+  private val flatSeg = ArrayType(DoubleType)
+  private val nestedSeg = ArrayType(ArrayType(DoubleType))
+
   private def schemaWith(seg: DataType): StructType = StructType(Seq(
     StructField("images", ArrayType(StructType(Seq(
       StructField("id", LongType), StructField("file_name", StringType),
@@ -58,36 +61,35 @@ object Coco {
       StructField("supercategory", StringType))))),
     StructField("type", StringType)))
 
-  val cocoSchema: StructType = schemaWith(ArrayType(DoubleType))
-  val cocoSchemaNested: StructType = schemaWith(ArrayType(ArrayType(DoubleType)))
+  val cocoSchema: StructType = schemaWith(flatSeg)
+  val cocoSchemaNested: StructType = schemaWith(nestedSeg)
+  /** Read-side schema: segmentation captured as its raw JSON text so each
+    * annotation decides its own spelling (flat / nested / RLE / absent). */
+  private val cocoSchemaRawSeg: StructType = schemaWith(StringType)
 
   def read(spark: SparkSession, path: String): CocoTables = {
     import spark.implicits._
-    val raw = spark.read.option("multiLine", true).schema(cocoSchema).json(path)
+    val raw = spark.read.option("multiLine", true).schema(cocoSchemaRawSeg).json(path)
     val images = raw.select(explode(col("images")).as("i"))
       .select(col("i.id"), col("i.file_name").as("fileName"), col("i.height"),
         col("i.width"), coalesce(col("i.license"), lit(1)).as("license"))
       .as[CocoImage]
-    val annsFlat = raw.select(explode(col("annotations")).as("a"))
+    // Per-ANNOTATION segmentation spelling: real COCO files mix flat
+    // [x1,y1,…] rows (reference coco.py:258) with list-of-lists rows
+    // (COCO standard / batch-concat) and RLE objects or nulls (iscrowd=1)
+    // in ONE file. A per-file schema fallback would mis-parse the
+    // majority spelling whenever any row deviates, so each row parses
+    // under both array schemas and keeps whichever succeeds; RLE/absent
+    // stay null (the engine's canonical in-memory layout is flat, §1.1).
+    val segRaw = col("a.segmentation")
+    val seg = coalesce(
+      from_json(segRaw, flatSeg),
+      flatten(from_json(segRaw, nestedSeg)))
+    val anns = raw.select(explode(col("annotations")).as("a"))
       .select(col("a.id"), col("a.image_id").as("imageId"),
-        col("a.category_id").as("categoryId"), col("a.segmentation"),
+        col("a.category_id").as("categoryId"), seg.as("segmentation"),
         col("a.bbox"), col("a.area"), coalesce(col("a.iscrowd"), lit(0)).as("iscrowd"))
-    // a list-of-lists segmentation (COCO standard / batch-concat output)
-    // parses as null under the flat schema — fall back to the nested schema
-    // and flatten (the engine's canonical in-memory layout is flat, §1.1)
-    val nFlatNull = annsFlat.where(col("segmentation").isNull).count()
-    val anns =
-      if (nFlatNull == 0) annsFlat.as[CocoAnnotation]
-      else {
-        val rawN = spark.read.option("multiLine", true).schema(cocoSchemaNested).json(path)
-        rawN.select(explode(col("annotations")).as("a"))
-          .select(col("a.id"), col("a.image_id").as("imageId"),
-            col("a.category_id").as("categoryId"),
-            flatten(col("a.segmentation")).as("segmentation"),
-            col("a.bbox"), col("a.area"),
-            coalesce(col("a.iscrowd"), lit(0)).as("iscrowd"))
-          .as[CocoAnnotation]
-      }
+      .as[CocoAnnotation]
     val cats = raw.select(explode(col("categories")).as("c"))
       .select(col("c.id"), col("c.name"), col("c.supercategory"))
       .as[CocoCategory]

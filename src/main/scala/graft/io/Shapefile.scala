@@ -88,22 +88,49 @@ object Shapefile {
   }
 
   /** Spec ring semantics: CW rings are shells, CCW rings are holes of the
-    * shell containing them. */
+    * shell containing them. Each hole is assigned to exactly ONE shell —
+    * the innermost (smallest-area) shell covering its first vertex, the
+    * GDAL `organizePolygons` rule the reference inherits via fiona. With
+    * nested shells (island-in-lake) the outer shell also covers the inner
+    * shell's holes, and adjacent shells both cover a boundary-touching
+    * hole vertex; filtering per shell independently would duplicate the
+    * hole into several polygons. `covers` (not `contains`) so a hole
+    * vertex ON the shell boundary still assigns. */
   private def assemblePolygon(rings: Seq[Array[Coordinate]]): Geometry = {
     val gf = JtsGeo.factory
     val (shells, holes) = rings.partition(r => !Orientation.isCCW(r))
     val shellRings = (if (shells.isEmpty) rings else shells) // degenerate: treat all as shells
       .map(gf.createLinearRing)
     val holeRings = if (shells.isEmpty) Seq.empty else holes.map(gf.createLinearRing)
-    val polys = shellRings.map { shell =>
-      val shellPoly = gf.createPolygon(shell)
-      // covers (not contains): a hole vertex lying ON the shell boundary
-      // must still assign the hole to that shell
-      val mine = holeRings.filter(h =>
-        shellPoly.covers(gf.createPoint(h.getCoordinateN(0))) ||
-          shellPoly.getEnvelopeInternal.contains(h.getEnvelopeInternal) &&
-            shellRings.length == 1)
-      gf.createPolygon(shell, mine.toArray)
+    val shellPolys = shellRings.map(gf.createPolygon)
+    val holesByShell: Map[Int, Seq[LinearRing]] = holeRings.map { h =>
+      // primary test: the shell covers the ENTIRE hole ring (boundary
+      // contact allowed). A point test alone mis-assigns twice over: a
+      // first-vertex test ties between two shells sharing the edge the
+      // vertex sits on, and an interior-point test hands a lake hole to an
+      // island shell sitting at the lake's centre.
+      val hp = gf.createPolygon(h)
+      // relate can throw on rings real-world files ship (self-touching,
+      // shared segments) — treat a throwing shell as non-covering and let
+      // the point fallbacks decide
+      val byRing = shellPolys.zipWithIndex.filter(p =>
+        scala.util.Try(p._1.covers(hp)).getOrElse(false))
+      val pool =
+        if (byRing.nonEmpty) byRing
+        else {
+          val byVertex = shellPolys.zipWithIndex
+            .filter(_._1.covers(gf.createPoint(h.getCoordinateN(0))))
+          if (byVertex.nonEmpty) byVertex
+          else shellPolys.zipWithIndex
+            .filter(_._1.getEnvelopeInternal.contains(h.getEnvelopeInternal))
+        }
+      // deterministic innermost pick: smallest area, index breaks ties
+      val owner = pool.sortBy(p => (p._1.getArea, p._2)).headOption
+        .map(_._2).getOrElse(0)
+      owner -> h
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val polys = shellRings.zipWithIndex.map { case (shell, i) =>
+      gf.createPolygon(shell, holesByShell.getOrElse(i, Seq.empty).toArray)
     }
     if (polys.length == 1) polys.head else gf.createMultiPolygon(polys.toArray)
   }

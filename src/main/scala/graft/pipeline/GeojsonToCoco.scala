@@ -59,11 +59,13 @@ object GeojsonToCoco {
       tilesSorted.zipWithIndex.map { case (t, i) => (t, i.toLong) })
     val bcCats = spark.sparkContext.broadcast(catMap)
     val areaFilter = p.areaFilter
-    // P16: for a geographic layer the filter threshold is m², so estimate
-    // ONE UTM zone from the layer bounds (geopandas estimate_utm_crs rule)
-    // and measure each clipped part there (coordinates.py:194-198).
+    // P16: for a geographic layer (any degree-unit CRS — 4326, NAD83,
+    // ETRS89, … — matched by family via Proj.isGeographic) the filter
+    // threshold is m², so estimate ONE UTM zone from the layer bounds
+    // (geopandas estimate_utm_crs rule) and measure each clipped part
+    // there (coordinates.py:194-198).
     val utmZone: Option[(Int, Boolean)] =
-      if (p.layerCrs.contains("EPSG:4326")) {
+      if (p.layerCrs.exists(graft.geo.Proj.isGeographic)) {
         val env = features.toDF()
           .agg(min("xmin"), min("ymin"), max("xmax"), max("ymax")).head()
         if (env.isNullAt(0)) None

@@ -92,6 +92,46 @@ class ShapefileSpec extends SparkSpec {
     polys.zip(back).foreach { case (a, b) => assert(a.equalsTopo(b), s"$a vs $b") }
   }
 
+  test("nested shells: island-in-lake assigns each hole to its innermost shell only") {
+    // outer shell 0..10 with lake hole 2..8; island shell 4..6 inside the
+    // lake with pond hole 4.5..5.5 — the outer shell also covers the pond,
+    // so a per-shell independent filter would duplicate the pond hole
+    val outer = gf.createPolygon(
+      gf.createLinearRing(JtsGeo.box(0, 0, 10, 10).getExteriorRing.getCoordinates),
+      Array(gf.createLinearRing(JtsGeo.box(2, 2, 8, 8).getExteriorRing.getCoordinates)))
+    val island = gf.createPolygon(
+      gf.createLinearRing(JtsGeo.box(4, 4, 6, 6).getExteriorRing.getCoordinates),
+      Array(gf.createLinearRing(JtsGeo.box(4.5, 4.5, 5.5, 5.5).getExteriorRing.getCoordinates)))
+    val mp = gf.createMultiPolygon(Array(outer, island))
+    val tmp = java.nio.file.Files.createTempDirectory("shpnest")
+    Shapefile.write(s"$tmp/n", Seq(mp -> Map("class" -> "c")), fields = Seq("class" -> 4))
+    val back = Shapefile.parseShp(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/n.shp"))).head
+    // (100-36) + (4-1) = 67; hole duplication would subtract the pond twice
+    assert(math.abs(back.getArea - 67.0) < 1e-9, s"area ${back.getArea}")
+    assert(back.isValid, "duplicated holes make the geometry invalid")
+    assert(back.equalsTopo(mp))
+  }
+
+  test("boundary-touching hole between adjacent shells assigns to the shell it punctures") {
+    // two equal-area shells sharing edge x=10; the hole's first vertex
+    // touches the shared edge at ONE point but its interior is in the
+    // RIGHT shell — a first-vertex covers test ties between both shells
+    val left = JtsGeo.box(0, 0, 10, 10)
+    val right = gf.createPolygon(
+      gf.createLinearRing(JtsGeo.box(10, 0, 20, 10).getExteriorRing.getCoordinates),
+      Array(gf.createLinearRing(Array(
+        new Coordinate(10, 3), new Coordinate(12, 2), new Coordinate(12, 4),
+        new Coordinate(10, 3)))))
+    val mp = gf.createMultiPolygon(Array(left, right))
+    val tmp = java.nio.file.Files.createTempDirectory("shpedge")
+    Shapefile.write(s"$tmp/e", Seq(mp -> Map("class" -> "c")), fields = Seq("class" -> 4))
+    val back = Shapefile.parseShp(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/e.shp"))).head
+    assert(math.abs(back.getArea - (100.0 + 98.0)) < 1e-9, s"area ${back.getArea}")
+    assert(back.equalsTopo(mp))
+  }
+
   test("point and polyline shape types parse") {
     // hand-build a tiny .shp with one Point record
     val b = java.nio.ByteBuffer.allocate(100 + 8 + 20)

@@ -152,4 +152,30 @@ class RoundTripSpec extends SparkSpec {
     assert(merged("licenses") == """[{"id":1},{"id":2}]""")
     assert(merged("info") == """{"v":2}""")
   }
+
+  test("mixed per-annotation segmentation spellings parse row-by-row (RLE/null don't poison flat rows)") {
+    // real COCO files mix flat rings, list-of-lists rings, RLE objects
+    // (iscrowd=1) and absent segmentations in ONE file — a per-file schema
+    // fallback silently nulls every flat row when any RLE row exists
+    val doc =
+      """{"images":[{"id":1,"file_name":"a.png","height":10,"width":10,"license":1}],
+        |"annotations":[
+        |{"id":1,"image_id":1,"category_id":0,"segmentation":[1.0,2.0,3.0,4.0,5.0,6.0],"bbox":[1,2,4,4],"area":8.0,"iscrowd":0},
+        |{"id":2,"image_id":1,"category_id":0,"segmentation":[[7.0,8.0,9.0,10.0,11.0,12.0]],"bbox":[7,8,4,4],"area":8.0,"iscrowd":0},
+        |{"id":3,"image_id":1,"category_id":0,"segmentation":{"counts":[0,100],"size":[10,10]},"bbox":[0,0,10,10],"area":100.0,"iscrowd":1},
+        |{"id":4,"image_id":1,"category_id":0,"bbox":[0,0,1,1],"area":1.0,"iscrowd":1}],
+        |"categories":[{"id":0,"name":"c","supercategory":""}],
+        |"type":"instances"}""".stripMargin
+    val tmp = java.nio.file.Files.createTempFile("cocoMixed", ".json")
+    java.nio.file.Files.writeString(tmp, doc)
+    val back = Coco.read(spark, tmp.toString).annotations.collect().sortBy(_.id)
+    assert(back.length == 4)
+    assert(back(0).segmentation.toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0),
+      "flat row must survive the presence of RLE rows")
+    assert(back(1).segmentation.toSeq == Seq(7.0, 8.0, 9.0, 10.0, 11.0, 12.0),
+      "nested row flattens")
+    assert(back(2).segmentation == null, "RLE stays null (not representable as a ring)")
+    assert(back(3).segmentation == null, "absent stays null")
+    assert(back(2).iscrowd == 1 && back(3).iscrowd == 1)
+  }
 }
