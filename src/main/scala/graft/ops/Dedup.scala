@@ -134,49 +134,43 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate pairs: exact cosine within blocks
     * (label/shard/LSH-bucket — any pre-grouping column), emitting (a, b,
-    * cos) once per pair (a < b) with cos ≥ `tau`. The block side is
-    * broadcast and scored with the JVM fold kernel (bit-identical to the
-    * column/oracle formulation). At corpus scale feed LSH buckets
+    * cos) once per pair (a < b) with cos ≥ `tau`.
+    *
+    * Scale shape: ONE shuffle keyed by block (`groupByKey` →
+    * `flatMapGroups`); each task buffers only its own block's vectors, so
+    * executor memory bounds the BLOCK size, not the corpus — nothing is
+    * ever collected to the driver. All-pairs work is quadratic per block
+    * by definition, so at corpus scale feed LSH buckets
     * ([[Similarity.annLshBanded]]'s candidate stage) as the block column —
-    * never all-pairs. */
+    * never a whole-corpus block. The per-pair kernel is the same
+    * left-to-right IEEE754 fold as the oracle's column formulation
+    * (smaller id's vector is always the left operand), so cosines are
+    * bit-identical to the previous broadcast form. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, tau: Double): DataFrame = {
     val spark = emb.sparkSession
-    val rows = emb.select(col(idCol).cast("long"), col(vecCol), col(blockCol).cast("string"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getString(2)))
-    val grouped = rows.groupBy(_._3).map { case (blk, rs) =>
-      blk -> rs.map { case (id, v, _) =>
+    import spark.implicits._
+    val rows = emb
+      .select(col(blockCol).cast("string"), col(idCol).cast("long"), col(vecCol))
+      .as[(String, Long, Array[Float])]
+    rows.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val members = it.map { case (_, id, v) =>
         var s = 0.0; var i = 0
         while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
         (id, v, math.sqrt(s))
-      }
-    }
-    val bc = spark.sparkContext.broadcast(grouped)
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType)))
-    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    emb.select(col(idCol).cast("long"), col(vecCol), col(blockCol).cast("string"))
-      .mapPartitions { it =>
-        val groups = bc.value
-        it.flatMap { r =>
-          val a = r.getLong(0)
-          val av = r.getSeq[Float](1).toArray
-          var s = 0.0; var i = 0
-          while (i < av.length) { s += av(i).toDouble * av(i).toDouble; i += 1 }
-          val an = math.sqrt(s)
-          groups(r.getString(2)).iterator
-            .filter(_._1 > a) // each pair once, from its smaller id
-            .flatMap { case (b, bv, bn) =>
-              var d = 0.0; var j = 0
-              while (j < av.length) { d += av(j).toDouble * bv(j).toDouble; j += 1 }
-              val cos = d / (an * bn)
-              if (cos >= tau) Some(org.apache.spark.sql.Row(a, b, cos)) else None
-            }
+      }.toArray
+      scala.util.Sorting.quickSort(members)(Ordering.by(_._1))
+      (0 until members.length).iterator.flatMap { i =>
+        val (a, av, an) = members(i)
+        (i + 1 until members.length).iterator.flatMap { j =>
+          val (b, bv, bn) = members(j)
+          var d = 0.0; var x = 0
+          while (x < av.length) { d += av(x).toDouble * bv(x).toDouble; x += 1 }
+          val cos = d / (an * bn)
+          if (cos >= tau) Some((a, b, cos)) else None
         }
       }
+    }.toDF("a", "b", "cos")
   }
 
   /** Hamming distance between two packed simhash values — bit_count of xor. */

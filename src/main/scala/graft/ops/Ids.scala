@@ -1,8 +1,6 @@
 package graft.ops
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -24,31 +22,38 @@ object Ids {
 
   def denseId(df: DataFrame, idName: String, orderCols: Seq[String],
               numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val cols = orderCols.map(col)
-    // RangePartitioner samples with a per-RDD seed, so an unpersisted plan
-    // can land rows on different partitions in the count pass vs the emit
-    // pass — persist pins one materialization for both.
+    // RangePartitioner samples with a per-RDD seed, so two separately
+    // planned executions of the same Dataset can land rows on different
+    // partitions in the count pass vs the emit pass. Dropping to ONE RDD
+    // instance pins one partitioning for both passes (the sample job runs
+    // once, the exchange's shuffle files are written once and re-read by
+    // both jobs as skipped stages) WITHOUT persisting anything — the
+    // previous MEMORY_AND_DISK persist here pinned a cached copy per call
+    // until LRU eviction (GeoJson/Shapefile/vocab each call this once per
+    // read; long sessions accumulated storage).
     val sorted = df.repartitionByRange(parts, cols: _*).sortWithinPartitions(cols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = sorted.rdd
 
     // pass 1: rows per partition (cheap: count(1) per partition)
-    val counts = sorted.mapPartitions { it =>
-      Iterator((TaskContext.getPartitionId(), it.size.toLong))
-    }(ExpressionEncoder[(Int, Long)]()).collect().toMap
+    val counts = rdd.mapPartitionsWithIndex { (p, it) =>
+      Iterator((p, it.size.toLong))
+    }.collect().toMap
 
     val nParts = (counts.keySet + (-1)).max + 1
     val offsets = new Array[Long](math.max(nParts, 0) + 1)
     for (p <- 0 until nParts) offsets(p + 1) = offsets(p) + counts.getOrElse(p, 0L)
-    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val bc = spark.sparkContext.broadcast(offsets)
 
-    // pass 2: emit offset + local ordinal
+    // pass 2: emit offset + local ordinal over the SAME RDD instance
     val outSchema = sorted.schema.add(idName, LongType, nullable = false)
-    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    sorted.mapPartitions { it =>
-      var i = bc.value(TaskContext.getPartitionId())
-      it.map { r => val out = Row.fromSeq(r.toSeq :+ i); i += 1; out }
+    val out = rdd.mapPartitionsWithIndex { (p, it) =>
+      var i = bc.value(p)
+      it.map { r => val o = Row.fromSeq(r.toSeq :+ i); i += 1; o }
     }
+    spark.createDataFrame(out, outSchema)
   }
 }

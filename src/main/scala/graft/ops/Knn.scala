@@ -42,22 +42,36 @@ object Knn {
   /** queries: (`qid`,`x`,`y`); points: (`pid`,`x`,`y`). Output:
     * (`qid`, `rank` 1..k, `pid`, `dist2`). Self-pairs (qid==pid) are
     * excluded when `excludeSelf`. `level` < 0 picks the grid level from
-    * point density (expected points/cell ≈ k). */
+    * point density (expected points/cell ≈ k). `maxExhaustQueries` guards
+    * the exact-by-exhaustion escape hatch: the straggler cross join only
+    * fires when at most that many queries remain — a pathological input
+    * (everything in one cell) instead COARSENS the grid and keeps ring-
+    * joining, so the cross join's row count stays bounded by
+    * maxExhaustQueries · |points|. */
   def knnJoin(queries: DataFrame, points: DataFrame, k: Int,
               ci: CellIndex, level: Int = -1, excludeSelf: Boolean = true,
-              maxRounds: Int = 8): DataFrame = {
+              maxRounds: Int = 8, maxExhaustQueries: Long = 65536L): DataFrame = {
+    val spark = queries.sparkSession
     val pts0 = points
       .select(col("pid"), col("x").as("px"), col("y").as("py"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nPts = pts0.count()
-    val lvl = if (level >= 0) level else levelForDensity(nPts, k, ci)
-    val cs = ci.cellSize(lvl)
-    val n = 1L << lvl
+    var lvl = if (level >= 0) level else levelForDensity(nPts, k, ci)
+    var cs = ci.cellSize(lvl)
+    var n = 1L << lvl
 
-    val pts = pts0
-      .withColumn("pcell", CellIndex.packCol(lvl,
-        ci.colOfCol(col("px"), lvl), ci.rowOfCol(col("py"), lvl)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    def withCells(p: DataFrame, l: Int): DataFrame = p
+      .withColumn("pcell", CellIndex.packCol(l,
+        ci.colOfCol(col("px"), l), ci.rowOfCol(col("py"), l)))
+
+    // Logical-plan barrier: re-root a (persisted, materialized) frame on
+    // its own RDD. Without it every round's `remaining` nests the previous
+    // round's join+explode plan — the TREE doubles per round even though
+    // persist stops recomputation, and after ~10 rounds plan stringification
+    // alone OOMs the driver.
+    def barrier(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+
+    var pts = withCells(pts0, lvl).persist(StorageLevel.MEMORY_AND_DISK)
     pts.count()
     pts0.unpersist(false)
 
@@ -75,9 +89,36 @@ object Knn {
       round += 1
       // Once the disk would explode too many cells per query, the stragglers
       // are isolated points in sparse space — switch to an exhaustive join
-      // (exact by exhaustion) instead of growing the explode O(r²).
-      val worldCovered = r >= n || (2 * r + 1) * (2 * r + 1) >= 4096 ||
+      // (exact by exhaustion) instead of growing the explode O(r²). But a
+      // true cross join is only safe for a SMALL remainder: with many
+      // stragglers (dense single-cell clusters), coarsen the grid two
+      // levels (16× fewer cells → ring radius ÷4) and keep ring-joining;
+      // lvl 0 is one world cell, where the ring join is itself exhaustive.
+      val wantExhaust = r >= n || (2 * r + 1) * (2 * r + 1) >= 4096 ||
         round >= maxRounds
+      val worldCovered = wantExhaust && (lvl == 0 || {
+        val remCount = remaining.count()
+        if (remCount <= maxExhaustQueries) true
+        else {
+          lvl = math.max(0, lvl - 2)
+          cs = ci.cellSize(lvl)
+          n = 1L << lvl
+          val pts2 = withCells(pts.drop("pcell"), lvl)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          pts2.count()
+          pts.unpersist(false)
+          pts = pts2
+          val rem2 = barrier(remaining.drop("qc", "qr")
+            .withColumn("qc", ci.colOfCol(col("qx"), lvl))
+            .withColumn("qr", ci.rowOfCol(col("qy"), lvl)))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          rem2.count()
+          remaining.unpersist(false)
+          remaining = rem2
+          r = math.max(1L, r >> 2)
+          false
+        }
+      })
       val base =
         if (worldCovered) remaining.join(pts)
         else remaining
@@ -103,9 +144,9 @@ object Knn {
           lit(worldCovered) || (col("kth").isNotNull && col("kth") < lit(r * cs) * lit(r * cs)))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-      val settledRows = ranked.where(col("settled"))
+      val settledRows = barrier(ranked.where(col("settled"))
         .select(col("qid"), explode(col("topk")).as("t"))
-        .select(col("qid"), col("t.rank"), col("t.pid"), col("t.dist2"))
+        .select(col("qid"), col("t.rank"), col("t.pid"), col("t.dist2")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       settledRows.count() // materialize before the inputs below it are dropped
       roundCaches += settledRows
@@ -116,8 +157,8 @@ object Knn {
         remaining.unpersist(false)
         done = true
       } else {
-        val next = remaining.join(
-          ranked.where(col("settled")).select("qid"), Seq("qid"), "left_anti")
+        val next = barrier(remaining.join(
+          ranked.where(col("settled")).select("qid"), Seq("qid"), "left_anti"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val nLeft = next.count()
         ranked.unpersist(false)
@@ -127,8 +168,16 @@ object Knn {
       }
     }
     pts.unpersist(false)
-    // results reads from the per-round settled caches; they are released
-    // lazily by Spark's LRU once the caller's action has consumed them.
-    results
+    // Materialize the final result once via localCheckpoint, then release
+    // every per-round cache EAGERLY. localCheckpoint blocks belong to the
+    // RDD and are freed by the ContextCleaner when the caller drops the
+    // returned frame — unlike CacheManager entries, which the round-1/2
+    // hygiene audits found pinned until LRU pressure.
+    val outSchema = results.schema
+    val ckRdd = results.rdd
+    ckRdd.localCheckpoint()
+    ckRdd.count()
+    roundCaches.foreach(_.unpersist(false))
+    spark.createDataFrame(ckRdd, outSchema)
   }
 }

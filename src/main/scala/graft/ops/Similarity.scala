@@ -152,26 +152,37 @@ object Similarity {
       .select("a", "b").distinct()
     val directed = cand.unionByName(cand.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("qid"), col("b").as("pid"))
-    val scored = scorePairsBroadcast(directed, emb, idCol, vecCol)
+    val scored = scorePairs(directed, emb, idCol, vecCol)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select("qid", "rnk", "pid", "cos")
   }
 
   /** IVF-Flat ANN (the brief's second scale path next to LSH): a coarse
-    * quantizer of `nLists` deterministic centroids (the first nLists
-    * vectors in id order — k-means-free so results are reproducible across
-    * engines/runs), every vector assigned to its nearest centroid, and each
-    * query probing its `nProbe` nearest lists with an exact cosine re-rank
-    * inside them. The probe is an EQUI-join on list id — never all-pairs;
-    * at corpus scale the lists shard by key like any join, and nLists
-    * scales with √corpus so list sizes stay bounded. Recall measured vs
-    * brute force in the spec. */
+    * quantizer of `nLists` deterministic centroids — the vectors with the
+    * smallest `mix(id) = (id·2654435761) mod (2^31−1)`, i.e. a seeded
+    * hash-strided sample of the corpus, k-means-free so results are
+    * reproducible across engines/runs. Unlike first-N-by-id (which on
+    * id-clustered data draws all centroids from one region and lets a
+    * single list absorb the corpus), the hash draw is uniform over the id
+    * space regardless of insertion order; selection is a distributed
+    * top-nLists (TakeOrdered), never a full sort or collect. Every vector
+    * is assigned to its nearest centroid, and each query probes its
+    * `nProbe` nearest lists with an exact cosine re-rank inside them. The
+    * probe is an EQUI-join on list id — never all-pairs; at corpus scale
+    * the lists shard by key like any join, nLists scales with √corpus so
+    * list sizes stay bounded, and `maxListSize` salts any residual hot
+    * list into (list, salt) sub-keys — candidate-set-preserving, output
+    * identical (asserted in the spec). Recall measured vs brute force in
+    * the spec. */
   def annIvf(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-             nLists: Int, nProbe: Int): DataFrame = {
+             nLists: Int, nProbe: Int, maxListSize: Int = Int.MaxValue): DataFrame = {
     val spark = emb.sparkSession
     val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val centroids = e.orderBy("id").limit(nLists).collect()
+    val centroids = e
+      .withColumn("mix", pmod(col("id") * lit(2654435761L), lit(2147483647L)))
+      .orderBy("mix", "id").limit(nLists)
+      .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .zipWithIndex.map { case ((_, v), i) =>
         var s = 0.0; var d = 0
@@ -211,21 +222,100 @@ object Similarity {
         nearestLists(v, nProbe).iterator.map(li => Row(li, r.getLong(0), r.getSeq[Float](1)))
       }
     }.withColumnRenamed("id", "qid").withColumnRenamed("v", "qv")
-    val cand = probes.join(lists, "list")
-      .where(col("qid") =!= col("pid"))
-      .select(col("qid"), col("pid"))
-    val scored = scorePairsBroadcast(cand, emb, idCol, vecCol)
+    val cand =
+      if (maxListSize == Int.MaxValue)
+        probes.join(lists, "list")
+          .where(col("qid") =!= col("pid"))
+          .select(col("qid"), col("pid"))
+      else {
+        // list-size cap: a list of size s splits into ceil(s/maxListSize)
+        // salt sub-keys; members hash onto one salt, probes fan out to all
+        // of them — the candidate set is UNCHANGED (pure skew mitigation),
+        // only the join key cardinality grows. Costs one aggregation job
+        // over nLists rows (not corpus rows).
+        val sizes = lists.groupBy("list").count().collect()
+          .map(r => r.getInt(0) -> math.max(1L,
+            (r.getLong(1) + maxListSize - 1) / maxListSize).toInt).toMap
+        val bcSalts = spark.sparkContext.broadcast(sizes)
+        val saltOf = udf { (list: Int, pid: Long) =>
+          java.lang.Math.floorMod(pid * 40503L, bcSalts.value.getOrElse(list, 1).toLong).toInt
+        }
+        val saltsOf = udf { (list: Int) => (0 until bcSalts.value.getOrElse(list, 1)).toArray }
+        probes.withColumn("salt", explode(saltsOf(col("list"))))
+          .join(lists.withColumn("salt", saltOf(col("list"), col("pid"))),
+            Seq("list", "salt"))
+          .where(col("qid") =!= col("pid"))
+          .select(col("qid"), col("pid"))
+      }
+    val scored = scorePairs(cand, emb, idCol, vecCol)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select("qid", "rnk", "pid", "cos")
   }
 
+  /** Plan-stats size (bytes) below which [[scorePairs]] collects+broadcasts
+    * the vector table; above it the vectors are shuffled onto the pairs.
+    * 256 MB of float vectors is dim-table territory for an 8g+ driver. */
+  val BroadcastVecBytes: Long = 256L << 20
+
+  /** Exact cosine for candidate (qid, pid) pairs — auto-selects the plan
+    * from the vector table's Catalyst size estimate (no extra job): a
+    * dim-table-sized corpus takes the zero-shuffle broadcast arm, anything
+    * bigger joins the vectors onto the pairs. Both arms run the same JVM
+    * fold kernel per row, so results are bit-identical either way. */
+  def scorePairs(pairs: DataFrame, emb: DataFrame, idCol: String,
+                 vecCol: String): DataFrame = {
+    val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= BigInt(BroadcastVecBytes)) scorePairsBroadcast(pairs, emb, idCol, vecCol)
+    else scorePairsJoin(pairs, emb, idCol, vecCol)
+  }
+
+  /** Exact cosine for candidate (qid, pid) pairs with the vector table
+    * JOINED onto the pairs — the corpus-scale path: two equi-joins key the
+    * pairs by each endpoint (AQE picks shuffle-hash/broadcast per side from
+    * runtime stats), nothing is ever collected to the driver. The per-row
+    * kernel repeats [[scorePairsBroadcast]]'s left-to-right IEEE754 folds
+    * (dot, then each norm as sum-of-squares + sqrt), so the two arms are
+    * bit-identical — asserted in SimilaritySpec. */
+  def scorePairsJoin(pairs: DataFrame, emb: DataFrame, idCol: String,
+                     vecCol: String): DataFrame = {
+    val vecs = emb.select(col(idCol).cast("long").as("_vid"), col(vecCol).as("_v"))
+    val joined = pairs.select(col("qid").cast("long"), col("pid").cast("long"))
+      .join(vecs.select(col("_vid").as("qid"), col("_v").as("_qv")), "qid")
+      .join(vecs.select(col("_vid").as("pid"), col("_v").as("_pv")), "pid")
+      .select(col("qid"), col("pid"), col("_qv"), col("_pv"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    joined.mapPartitions { it =>
+      it.map { r =>
+        val q = r.getLong(0)
+        val p = r.getLong(1)
+        val qv = r.getSeq[Float](2).toArray
+        val pv = r.getSeq[Float](3).toArray
+        var d = 0.0; var qs = 0.0; var ps = 0.0
+        var i = 0
+        while (i < qv.length) {
+          d += qv(i).toDouble * pv(i).toDouble
+          i += 1
+        }
+        i = 0
+        while (i < qv.length) { qs += qv(i).toDouble * qv(i).toDouble; i += 1 }
+        i = 0
+        while (i < pv.length) { ps += pv(i).toDouble * pv(i).toDouble; i += 1 }
+        Row(q, p, d / (math.sqrt(qs) * math.sqrt(ps)))
+      }
+    }
+  }
+
   /** Exact cosine for candidate (qid, pid) pairs via a broadcast id→vector
     * map and a primitive JVM fold — bit-identical to [[dot]]/[[norm]] (same
     * left-to-right IEEE754 accumulation over the same doubles), ~50× faster
-    * than evaluating the `zip_with`/`aggregate` HOF per pair. Use when the
-    * vector table fits in executor memory; at larger scale join the vectors
-    * onto the pairs instead (same kernel per row). */
+    * than evaluating the `zip_with`/`aggregate` HOF per pair. Driver-memory
+    * bound by construction — only [[scorePairs]] should call it, which
+    * routes anything past [[BroadcastVecBytes]] to [[scorePairsJoin]]. */
   def scorePairsBroadcast(pairs: DataFrame, emb: DataFrame, idCol: String,
                           vecCol: String): DataFrame = {
     val spark = emb.sparkSession

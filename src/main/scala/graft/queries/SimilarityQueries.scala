@@ -49,10 +49,11 @@ object SimilarityQueries {
         .orderBy("a", "b")
     }),
 
-    // IVF-Flat ANN: deterministic coarse quantizer (first-16-by-id
-    // centroids), nProbe=3 probed lists, exact re-rank — the oracle runs
-    // the identical algorithm (same centroid choice, same (cos desc, list
-    // asc) tie order, same folds) in DuckDB
+    // IVF-Flat ANN: deterministic coarse quantizer (the 16 vectors with
+    // the smallest (id·2654435761) mod (2^31−1) — a seeded hash-strided
+    // sample, balanced on id-clustered data), nProbe=3 probed lists, exact
+    // re-rank — the oracle runs the identical algorithm (same centroid
+    // choice, same (cos desc, list asc) tie order, same folds) in DuckDB
     "q41_ann_ivf" -> ((s, dir) => {
       Similarity.annIvf(t(s, dir, "embeddings"), "vec_id", "embedding", 2,
           nLists = 16, nProbe = 3)
@@ -109,8 +110,10 @@ object SimilarityQueries {
     "q41_ann_ivf" ->
       s"""WITH $eSql,
          c AS (SELECT vec_id, embedding, n,
-             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS li
-           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+             CAST(row_number() OVER (ORDER BY (vec_id*2654435761) % 2147483647, vec_id) - 1
+               AS INTEGER) AS li
+           FROM (SELECT * FROM e
+                 ORDER BY (vec_id*2654435761) % 2147483647, vec_id LIMIT 16)),
          sims AS (SELECT v.vec_id, c.li,
              list_reduce(list_transform(list_zip(v.embedding, c.embedding),
                l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x,y) -> x + y)

@@ -39,4 +39,24 @@ class KnnSpec extends SparkSpec {
     val got = Knn.knnJoin(tiny.select(col("pid").as("qid"), col("x"), col("y")), tiny, 5, ci, 10)
     assert(got.count() == 6) // each of 3 queries finds the other 2
   }
+
+  test("many sparse stragglers stay exact via grid coarsening (guarded cross join never fires)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 300 points scattered over the world at a far-too-fine fixed level:
+    // rings stay empty for rounds, maxRounds trips with ~300 stragglers,
+    // and the guard (maxExhaustQueries=10 << 300) must take the coarsening
+    // path — the old behavior was an unconditional 300×|points| cross join
+    val pts = (0 until 300).map { i =>
+      (i.toLong, (i * 2654435761L % 1048576L).toDouble,
+        (i * 1256953L % 1048576L).toDouble)
+    }.toDF("pid", "x", "y")
+    val ps = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val expect = bruteKnn(ps, 3)
+    val got = Knn.knnJoin(pts.select(col("pid").as("qid"), col("x"), col("y")),
+        pts, 3, ci, level = 16, maxRounds = 3, maxExhaustQueries = 10)
+      .select("qid", "rank", "pid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
 }

@@ -105,6 +105,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("scorePairsJoin is bit-identical to scorePairsBroadcast (the scale re-rank arm)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = (0 until 200).flatMap(q => Seq(1, 7, 113).map(d => (q.toLong, ((q + d) % 200).toLong)))
+      .toDF("qid", "pid")
+    val viaJoin = Similarity.scorePairsJoin(pairs, emb, "vec_id", "embedding")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val viaBc = Similarity.scorePairsBroadcast(pairs, emb, "vec_id", "embedding")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(viaJoin.keySet == viaBc.keySet)
+    viaJoin.foreach { case (k, c) =>
+      assert(java.lang.Double.doubleToLongBits(c) ==
+        java.lang.Double.doubleToLongBits(viaBc(k)), s"pair $k differs")
+    }
+  }
+
+  test("annIvf list-size salt cap preserves output exactly (pure skew mitigation)") {
+    val base = Similarity.annIvf(emb, "vec_id", "embedding", 3, nLists = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val salted = Similarity.annIvf(emb, "vec_id", "embedding", 3, nLists = 8, nProbe = 2,
+        maxListSize = 7) // 200 vecs / 8 lists ⇒ every list salts into ≥4 sub-keys
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(salted == base)
+  }
+
   test("dot/norm column functions match scala") {
     val spark2 = spark
     import spark2.implicits._
