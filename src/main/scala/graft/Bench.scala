@@ -19,6 +19,44 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, r)
   }
 
+  /** JDK17 module opens Spark needs outside spark-submit — mirrors
+    * build.sbt / org.apache.spark.launcher.JavaModuleOptions. */
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Measure the flagship in a FRESH 8g child JVM (graft.ScalingBench
+    * bench mode: warmup + best-of-2 inside), returning the best-pass
+    * seconds. Round-2 lesson (BENCH/BASELINE.md ablation): the flagship is
+    * allocation-heavy, and under a ~90g harness heap G1 settles into a
+    * 4-5× slower steady state than the documented fresh-JVM 8g protocol —
+    * the bench must measure the engine, not the harness's heap sizing. */
+  private def forkFlagship(cpus: String, dir: String): Option[Double] =
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val cmd = Seq(javaBin, "-Xmx8g", s"-XX:ActiveProcessorCount=$cpus",
+        "-Djts.overlay=ng", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC") ++ addOpens ++ Seq(
+        "-cp", System.getProperty("java.class.path"),
+        "graft.ScalingBench", "bench", cpus, dir, "jtsfast")
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+      val rc = proc.waitFor()
+      if (rc != 0) None
+      else out.filter(_.startsWith("{\"mode\":\"bench\""))
+        .flatMap("\"sec\":([0-9.]+)".r.findFirstMatchIn(_))
+        .map(_.group(1).toDouble).headOption
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -49,13 +87,18 @@ object Bench {
       name -> sec
     }
 
-    // flagship: gen (untimed, cached) → warmup → best of 2 timed passes
+    // flagship: gen (untimed, cached) → measured in a fresh 8g child JVM
+    // (warmup + best-of-2 inside); in-process fallback if the fork fails
     val benchDir = s"target/benchdata/bench-$nPages"
     if (!new java.io.File(s"$benchDir-zones").isDirectory)
       Flagship.gen(spark, nPages, benchDir)
     val featRows = spark.read.parquet(benchDir).count()
-    Flagship.run(spark, benchDir) // warmup: codegen + page cache
-    val pipSec = (1 to 2).map(_ => time(Flagship.run(spark, benchDir))._1).min
+    val forked = forkFlagship(cpus, benchDir)
+    val pipSec = forked.getOrElse {
+      Flagship.run(spark, benchDir) // warmup: codegen + page cache
+      (1 to 2).map(_ => time(Flagship.run(spark, benchDir))._1).min
+    }
+    val pipJvm = if (forked.isDefined) "forked-8g" else "in-process"
     val pipThroughput = featRows / pipSec
 
     val qs = (results :+ ("flagship_pip" -> pipSec))
@@ -63,7 +106,7 @@ object Bench {
     val total = results.map(_._2).sum + pipSec
     val totalStr = f"$total%.3f"
     println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","pip_feature_rows":$featRows,"pip_rows_per_sec":${pipThroughput.toLong},"scaling_evidence":"BENCH/BASELINE.md"}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","pip_feature_rows":$featRows,"pip_rows_per_sec":${pipThroughput.toLong},"flagship_jvm":"$pipJvm","scaling_evidence":"BENCH/BASELINE.md"}""")
     spark.stop()
   }
 }
