@@ -127,6 +127,112 @@ object Proj {
     ringArea(poly.getExteriorRing) - holes
   }
 
+  // ---------- conic projections (Snyder 1987, ellipsoidal 2SP forms) ----------
+
+  /** A projected CRS as a (forward lat/lon→E/N, inverse E/N→lat/lon) pair.
+    * Angles in the API are DEGREES, like the UTM functions. */
+  final case class Conic(forward: (Double, Double) => (Double, Double),
+                         inverse: (Double, Double) => (Double, Double))
+
+  /** GRS80 ellipsoid (NAD83 / GDA94 / RGF93 / ETRS89 datums). */
+  val Grs80A = 6378137.0
+  val Grs80E2 = {
+    val f = 1.0 / 298.257222101
+    f * (2 - f)
+  }
+
+  /** Lambert Conformal Conic, 2 standard parallels (Snyder §15 ellipsoidal
+    * form) — most US state planes and many national grids (Lambert-93,
+    * Belgium/Spain/Canada LCC). Degrees in, meters out. */
+  def lcc2sp(lat0: Double, lon0: Double, lat1: Double, lat2: Double,
+             fe: Double, fn: Double, a: Double = Grs80A, e2: Double = Grs80E2): Conic = {
+    val e = math.sqrt(e2)
+    def m(phi: Double) = math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    def t(phi: Double) = math.tan(math.Pi / 4 - phi / 2) /
+      math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2)
+    val (p0, p1, p2) = (math.toRadians(lat0), math.toRadians(lat1), math.toRadians(lat2))
+    val l0 = math.toRadians(lon0)
+    val n = (math.log(m(p1)) - math.log(m(p2))) / (math.log(t(p1)) - math.log(t(p2)))
+    val bigF = m(p1) / (n * math.pow(t(p1), n))
+    val rho0 = a * bigF * math.pow(t(p0), n)
+    Conic(
+      forward = (lat, lon) => {
+        val rho = a * bigF * math.pow(t(math.toRadians(lat)), n)
+        val th = n * (math.toRadians(lon) - l0)
+        (fe + rho * math.sin(th), fn + rho0 - rho * math.cos(th))
+      },
+      inverse = (x, y) => {
+        // Snyder: for n < 0 reverse the signs of x, y, ρ₀ (i.e. dx, dy)
+        // before the polar decomposition — southern-cone grids otherwise
+        // come back rotated by θ/n's period
+        val s = if (n < 0) -1.0 else 1.0
+        val dx = s * (x - fe)
+        val dy = s * (rho0 - (y - fn))
+        val rho = s * math.sqrt(dx * dx + dy * dy)
+        val tP = math.pow(rho / (a * bigF), 1 / n)
+        val th = math.atan2(dx, dy)
+        var phi = math.Pi / 2 - 2 * math.atan(tP)
+        for (_ <- 0 until 12) {
+          phi = math.Pi / 2 - 2 * math.atan(tP *
+            math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2))
+        }
+        (math.toDegrees(phi), math.toDegrees(l0 + th / n))
+      })
+  }
+
+  /** Albers Equal-Area Conic, 2 standard parallels (Snyder §14 ellipsoidal
+    * form) — CONUS Albers (EPSG:5070), Australian Albers (EPSG:3577). */
+  def albers2sp(lat0: Double, lon0: Double, lat1: Double, lat2: Double,
+                fe: Double, fn: Double, a: Double = Grs80A, e2: Double = Grs80E2): Conic = {
+    val e = math.sqrt(e2)
+    def m(phi: Double) = math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    def q(phi: Double) = (1 - e2) * (math.sin(phi) / (1 - e2 * math.sin(phi) * math.sin(phi)) -
+      (1 / (2 * e)) * math.log((1 - e * math.sin(phi)) / (1 + e * math.sin(phi))))
+    val (p0, p1, p2) = (math.toRadians(lat0), math.toRadians(lat1), math.toRadians(lat2))
+    val l0 = math.toRadians(lon0)
+    val n = (m(p1) * m(p1) - m(p2) * m(p2)) / (q(p2) - q(p1))
+    val c = m(p1) * m(p1) + n * q(p1)
+    val rho0 = a * math.sqrt(c - n * q(p0)) / n
+    Conic(
+      forward = (lat, lon) => {
+        val rho = a * math.sqrt(c - n * q(math.toRadians(lat))) / n
+        val th = n * (math.toRadians(lon) - l0)
+        (fe + rho * math.sin(th), fn + rho0 - rho * math.cos(th))
+      },
+      inverse = (x, y) => {
+        // Snyder: for n < 0 reverse the signs of dx, dy (and ρ) before the
+        // polar decomposition — see the LCC inverse
+        val s = if (n < 0) -1.0 else 1.0
+        val dx = s * (x - fe)
+        val dy = s * (rho0 - (y - fn))
+        val rho = s * math.sqrt(dx * dx + dy * dy)
+        val qP = (c - (rho * n / a) * (rho * n / a)) / n
+        val th = math.atan2(dx, dy)
+        var phi = math.asin(math.min(1.0, math.max(-1.0, qP / 2)))
+        for (_ <- 0 until 12) {
+          val s = math.sin(phi)
+          val d = 1 - e2 * s * s
+          phi = phi + d * d / (2 * math.cos(phi)) * (qP / (1 - e2) - s / d +
+            (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+        }
+        (math.toDegrees(phi), math.toDegrees(l0 + th / n))
+      })
+  }
+
+  /** Registry of projected CRSs the regularisation hop recognises beyond
+    * 3857/UTM: Lambert/Albers national grids (the reference reprojects
+    * between ANY fiona pair, coordinates.py:56-71 — this covers the common
+    * conic families rather than falling back to layer-unit tolerances). */
+  def projectedCrs(code: String): Option[Conic] = code match {
+    case "EPSG:2154" => // RGF93 / Lambert-93 (France)
+      Some(lcc2sp(46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0))
+    case "EPSG:5070" => // NAD83 / CONUS Albers
+      Some(albers2sp(23.0, -96.0, 29.5, 45.5, 0.0, 0.0))
+    case "EPSG:3577" => // GDA94 / Australian Albers (the reference's home turf)
+      Some(albers2sp(0.0, 132.0, -18.0, -36.0, 0.0, 0.0))
+    case _ => None
+  }
+
   /** Shoelace area of a lat/lon ring after projecting to its estimated UTM —
     * the reference's area-filter semantics (coordinates.py:194-198). */
   def utmRingArea(latLonFlat: Seq[Double]): Double = {

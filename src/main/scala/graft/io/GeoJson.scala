@@ -54,6 +54,12 @@ object GeoJson {
         gf.createMultiPolygon(g.get("coordinates").asScala.map(polygon).toArray)
       case "MultiPoint" =>
         gf.createMultiPointFromCoords(ring(g.get("coordinates")))
+      case "MultiLineString" =>
+        gf.createMultiLineString(
+          g.get("coordinates").asScala.map(ls => gf.createLineString(ring(ls))).toArray)
+      case "GeometryCollection" =>
+        gf.createGeometryCollection(
+          g.get("geometries").asScala.map(parseGeometry).toArray)
       case other => throw new IllegalArgumentException(s"unsupported geometry: $other")
     }
   }
@@ -115,6 +121,24 @@ object GeoJson {
         node.put("type", "Point")
         val p = mapper.createArrayNode(); p.add(pt.getX); p.add(pt.getY)
         node.set[JsonNode]("coordinates", p)
+      case ls: LineString =>
+        node.put("type", "LineString")
+        node.set[JsonNode]("coordinates", coords(ls.getCoordinates))
+      case mls: MultiLineString =>
+        node.put("type", "MultiLineString")
+        val arr = mapper.createArrayNode()
+        (0 until mls.getNumGeometries).foreach(i =>
+          arr.add(coords(mls.getGeometryN(i).getCoordinates)))
+        node.set[JsonNode]("coordinates", arr)
+      case mp: MultiPoint =>
+        node.put("type", "MultiPoint")
+        node.set[JsonNode]("coordinates", coords(mp.getCoordinates))
+      case gc: GeometryCollection =>
+        node.put("type", "GeometryCollection")
+        val arr = mapper.createArrayNode()
+        (0 until gc.getNumGeometries).foreach(i =>
+          arr.add(geometryToNode(mapper, gc.getGeometryN(i))))
+        node.set[JsonNode]("geometries", arr)
       case other => throw new IllegalArgumentException(s"unsupported write: ${other.getGeometryType}")
     }
     node

@@ -61,6 +61,81 @@ object CocoOps {
     (subsetByImages(t, trainImgs), subsetByImages(t, testImgs))
   }
 
+  /** EXACT port of the reference's multi-class split
+    * (scripts/coco_split.py:110-137): iterative stratification (Sechidis
+    * et al. 2011, the algorithm behind skmultilearn's
+    * `iterative_train_test_split`) over ANNOTATION rows, one label per
+    * annotation (`np.array([annotation_categories]).T`). Categories with
+    * ≤1 annotation are removed first (the reference's "bottleneck 1" —
+    * they cannot be split), each side's images are the ones its
+    * annotations reference (reference `filter_images`), categories pass
+    * through whole.
+    *
+    * The assignment loop is DRIVER-side over (annId, categoryId) pairs —
+    * faithful to the reference's single-file contract and fine up to
+    * ~10^8 annotations (12 bytes/row); at fleet scale use
+    * [[stratifiedSplit]], the distributed greedy approximation.
+    * Tie-breaks (equal desired counts) follow skmultilearn: a seeded
+    * uniform pick, so a fixed seed is deterministic. */
+  def iterativeStratifiedSplitExact(t: CocoTables, trainFraction: Double,
+                                    seed: Long): (CocoTables, CocoTables) = {
+    val spark = t.images.sparkSession
+    import spark.implicits._
+    val catCounts = t.annotations.groupBy("categoryId").agg(count(lit(1)).as("n"))
+    val kept = t.annotations.toDF()
+      .join(broadcast(catCounts.where(col("n") > 1)), Seq("categoryId"), "left_semi")
+    val rows = kept.select(col("id").cast("long"), col("categoryId").cast("int"))
+      .as[(Long, Int)].collect().sortBy(_._1)
+
+    val ratios = Array(trainFraction, 1 - trainFraction)
+    val nTotal = rows.length
+    val desired = ratios.map(_ * nTotal) // c_j
+    val perLabel = rows.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._1) }
+    val desiredPerLabel = scala.collection.mutable.Map[Int, Array[Double]]()
+    perLabel.foreach { case (c, ids) =>
+      desiredPerLabel(c) = ratios.map(_ * ids.length)
+    }
+    val remaining = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    perLabel.foreach { case (c, ids) =>
+      remaining(c) = scala.collection.mutable.ArrayBuffer(ids.sorted: _*)
+    }
+    val rnd = new scala.util.Random(seed)
+    val trainIds = scala.collection.mutable.HashSet[Long]()
+    while (remaining.values.exists(_.nonEmpty)) {
+      // rarest label first (fewest remaining annotations; tie → smallest id)
+      val (lbl, items) = remaining.filter(_._2.nonEmpty)
+        .minBy { case (c, rs) => (rs.length, c) }
+      val dl = desiredPerLabel(lbl)
+      items.foreach { annId =>
+        // subset with largest remaining label-desire; tie → largest total
+        // desire; tie → seeded uniform pick (skmultilearn semantics)
+        val bestByLabel = dl.indices.filter(j => dl(j) == dl.max)
+        val pool =
+          if (bestByLabel.length == 1) bestByLabel
+          else {
+            val dMax = bestByLabel.map(desired).max
+            bestByLabel.filter(j => desired(j) == dMax)
+          }
+        val j = if (pool.length == 1) pool.head else pool(rnd.nextInt(pool.length))
+        if (j == 0) trainIds += annId
+        dl(j) -= 1
+        desired(j) -= 1
+      }
+      items.clear()
+    }
+    val bcTrain = spark.sparkContext.broadcast(trainIds.toSet)
+    val isTrain = udf { (id: Long) => bcTrain.value.contains(id) }
+    def side(train: Boolean): CocoTables = {
+      val anns = kept.where(if (train) isTrain(col("id")) else !isTrain(col("id")))
+        .select(t.annotations.columns.map(col).toIndexedSeq: _*).as[CocoAnnotation]
+      val imgs = t.images.toDF()
+        .join(anns.select(col("imageId").as("id")).distinct(), Seq("id"), "left_semi")
+        .as[CocoImage]
+      CocoTables(imgs, anns, t.categories, t.extras)
+    }
+    (side(train = true), side(train = false))
+  }
+
   /** Keep only images in `imgs` and their annotations (J10 semi-joins). */
   def subsetByImages(t: CocoTables, imgs: Dataset[CocoImage]): CocoTables = {
     val spark = t.images.sparkSession

@@ -50,6 +50,11 @@ object CocoToGeojson {
         val north = hemi == "6"
         ((e, n) => { val (lat, lon) = graft.geo.Proj.utmInverse(e, n, zone, north); (lon, lat) },
          (lon, lat) => graft.geo.Proj.utmForward(lat, lon, zone, north))
+      case Some(code) if graft.geo.Proj.projectedCrs(code).isDefined =>
+        // Lambert/Albers national grids (Lambert-93, CONUS/Australian Albers)
+        val conic = graft.geo.Proj.projectedCrs(code).get
+        ((x, y) => { val (lat, lon) = conic.inverse(x, y); (lon, lat) },
+         (lon, lat) => conic.forward(lat, lon))
       case _ => ((x, y) => (x, y), (x, y) => (x, y))
     }
   }

@@ -69,6 +69,38 @@ class GeoJsonSpec extends SparkSpec {
     assert(back(1).props("zone_code") == "1")
   }
 
+  test("MultiLineString and GeometryCollection parse and round-trip (GDAL layers carry both)") {
+    val gf = JtsGeo.factory
+    val doc2 =
+      """{"type":"FeatureCollection","features":[
+        {"type":"Feature","properties":{"class":"road"},
+         "geometry":{"type":"MultiLineString","coordinates":[
+           [[0,0],[5,5],[10,0]],[[20,20],[25,25]]]}},
+        {"type":"Feature","properties":{"class":"mixed"},
+         "geometry":{"type":"GeometryCollection","geometries":[
+           {"type":"Point","coordinates":[1,2]},
+           {"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]},
+           {"type":"LineString","coordinates":[[7,7],[9,9]]}]}}
+      ]}"""
+    val feats = GeoJson.parseDocument(doc2, "class", "?")
+    assert(feats.length == 2)
+    val mls = feats(0)._1.asInstanceOf[org.locationtech.jts.geom.MultiLineString]
+    assert(mls.getNumGeometries == 2 && mls.getLength > 0)
+    val gc = feats(1)._1.asInstanceOf[org.locationtech.jts.geom.GeometryCollection]
+    assert(gc.getNumGeometries == 3)
+    assert(gc.getGeometryN(1).getArea == 16.0)
+    // writer round trip for each new type
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    for (g <- Seq[org.locationtech.jts.geom.Geometry](mls, gc,
+        gf.createMultiPointFromCoords(Array(
+          new org.locationtech.jts.geom.Coordinate(1, 2),
+          new org.locationtech.jts.geom.Coordinate(3, 4))))) {
+      val node = GeoJson.geometryToNode(mapper, g)
+      val back = GeoJson.parseGeometry(node)
+      assert(back.equalsExact(g), g.getGeometryType)
+    }
+  }
+
   test("write → parse round trip preserves geometry exactly") {
     val rows = Seq(
       (0, "a", JtsGeo.toWkb(JtsGeo.box(1.5, 2.5, 7.25, 9.75))),

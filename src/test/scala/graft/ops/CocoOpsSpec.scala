@@ -62,6 +62,42 @@ class CocoOpsSpec extends SparkSpec {
       Seq("imageId"), "left_anti").isEmpty)
   }
 
+  test("iterativeStratifiedSplitExact: per-category counts within 1 of the desired ratio") {
+    val spark2 = spark
+    import spark2.implicits._
+    // skewed label distribution: cat 0 ×60, cat 1 ×25, cat 2 ×9, cat 3 ×1 (dropped)
+    val anns = (
+      (0 until 60).map(i => (i.toLong, (i % 10).toLong, 0)) ++
+      (0 until 25).map(i => (100L + i, (i % 10).toLong, 1)) ++
+      (0 until 9).map(i => (200L + i, (i % 3).toLong, 2)) ++
+      Seq((300L, 0L, 3))
+    ).map { case (id, img, cat) =>
+      CocoAnnotation(id, img, cat, Array(0.0, 0, 1, 0, 1, 1, 0, 0), Array(0.0, 0, 1, 1), 0.5)
+    }
+    val imgs = (0 until 10).map(i => CocoImage(i.toLong, s"t_$i.png", 10, 10))
+    val cats = (0 until 4).map(i => CocoCategory(i, s"c$i", ""))
+    val t = CocoTables(spark.createDataset(imgs), spark.createDataset(anns),
+      spark.createDataset(cats))
+    val (tr, te) = CocoOps.iterativeStratifiedSplitExact(t, 0.7, seed = 11)
+    val trAnns = tr.annotations.collect()
+    val teAnns = te.annotations.collect()
+    // singleton category 3 dropped entirely (coco_split.py "bottleneck 1")
+    assert(!(trAnns ++ teAnns).exists(_.categoryId == 3))
+    assert(trAnns.map(_.id).toSet.intersect(teAnns.map(_.id).toSet).isEmpty)
+    assert(trAnns.length + teAnns.length == 94)
+    // iterative stratification keeps every label within 1 of its desired count
+    for ((cat, total) <- Seq((0, 60), (1, 25), (2, 9))) {
+      val got = trAnns.count(_.categoryId == cat)
+      assert(math.abs(got - 0.7 * total) <= 1.0, s"cat $cat: $got of $total")
+    }
+    // each side's images are exactly the ones its annotations reference
+    assert(tr.images.collect().map(_.id).toSet == trAnns.map(_.imageId).toSet)
+    assert(te.images.collect().map(_.id).toSet == teAnns.map(_.imageId).toSet)
+    // seeded determinism
+    val (tr2, _) = CocoOps.iterativeStratifiedSplitExact(t, 0.7, seed = 11)
+    assert(tr2.annotations.collect().map(_.id).toSet == trAnns.map(_.id).toSet)
+  }
+
   test("capCategory subsamples the hot category's images (J9 anti-join)") {
     val t = mkTables(30)
     val capped = CocoOps.capCategory(t, categoryId = 0, cap = 5, seed = 1)
