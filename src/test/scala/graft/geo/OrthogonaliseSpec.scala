@@ -3,10 +3,13 @@ package graft.geo
 import graft.SparkSpec
 import org.locationtech.jts.geom.Coordinate
 
-/** Property tests for the orthogonalise kernel (golden parity vs the Python
-  * reference is impossible in-sandbox — no shapely/geopandas — so the spec
-  * asserts the algorithm's documented postconditions: SURVEY.md G3,
-  * "output angles ∈ {90°,180°} mod skew-tolerance skips"). */
+/** Property tests + GOLDEN PARITY for the orthogonalise kernel. The golden
+  * fixtures (src/test/resources/ortho_golden.json) are produced by running
+  * the REFERENCE kernel's own pure-math functions (exec'd from
+  * orthogonalise.py) with its geopandas rotation replicated in closed form
+  * — see tools/gen_ortho_golden.py. The property tests keep asserting the
+  * documented postconditions (SURVEY.md G3: output angles ∈ {90°,180°} mod
+  * skew-tolerance skips) on top. */
 class OrthogonaliseSpec extends SparkSpec {
 
   def ring(pts: (Double, Double)*) =
@@ -103,6 +106,37 @@ class OrthogonaliseSpec extends SparkSpec {
     val o = Orthogonalise(p)
     assert(o.getNumInteriorRing == 1)
     assert(o.getArea < shell.getArea)
+  }
+
+  test("golden parity: output coordinates match the reference kernel run on the same inputs") {
+    val text = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/ortho_golden.json")).mkString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(text)
+    val names = root.fieldNames()
+    var checked = 0
+    while (names.hasNext) {
+      val name = names.next()
+      val fix = root.get(name)
+      def pts(key: String): Array[Coordinate] = {
+        val arr = fix.get(key)
+        (0 until arr.size()).map { i =>
+          new Coordinate(arr.get(i).get(0).asDouble(), arr.get(i).get(1).asDouble())
+        }.toArray
+      }
+      val input = JtsGeo.factory.createPolygon(pts("input"))
+      val expected = pts("expected")
+      val got = Orthogonalise(input, 15, 15).getExteriorRing.getCoordinates
+      assert(got.length == expected.length, s"$name: ${got.length} vs ${expected.length} pts")
+      for (i <- expected.indices) {
+        // 1e-9 deg ≈ 0.1 mm — bit-level parity modulo summation order
+        assert(math.abs(got(i).x - expected(i).x) < 1e-9 &&
+          math.abs(got(i).y - expected(i).y) < 1e-9,
+          s"$name pt $i: (${got(i).x},${got(i).y}) vs (${expected(i).x},${expected(i).y})")
+      }
+      checked += 1
+    }
+    assert(checked == 4)
   }
 
   test("compass bearing matches closed forms") {
