@@ -14,12 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object Georeference {
 
+  /** P14 kernel: numeric-prefix id from the file base name
+    * (jpeg2tiff.py:66-71) — pure built-in expressions, codegen'd. */
+  def numericIdCol(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(element_at(split(path, "/"), -1), "^([0-9]+)", 1).cast("long")
+
+  /** P13 kernel: tile name = file base name without extension
+    * (coco2geojson.py:306-308). */
+  def tileNameCol(fileName: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(split(fileName, "\\."), 1)
+
   /** `images`: (path:string, width:int, height:int) rows;
     * `bounds`: (id:long, west,south,east,north:double, crs:string).
     * Join key: leading digits of the file base name (jpeg2tiff.py:66-71). */
   def fromBoundsTable(images: DataFrame, bounds: DataFrame): DataFrame = {
-    val withId = images.withColumn("id",
-      regexp_extract(element_at(split(col("path"), "/"), -1), "^(\\d+)", 1).cast("long"))
+    val withId = images.withColumn("id", numericIdCol(col("path")))
     withId.join(bounds, "id")
       .withColumn("a", (col("east") - col("west")) / col("width"))
       .withColumn("e", -(col("north") - col("south")) / col("height"))

@@ -66,7 +66,7 @@ object CocoToGeojson {
     val imgs = tables.images.toDF()
       .select(col("id").as("imageId"), col("fileName"))
       // P13: tile_name from file name (coco2geojson.py:306-308)
-      .withColumn("tileName", element_at(split(col("fileName"), "\\."), 1))
+      .withColumn("tileName", graft.io.Georeference.tileNameCol(col("fileName")))
     val ann = tables.annotations.toDF()
       .join(broadcast(imgs), "imageId")
 

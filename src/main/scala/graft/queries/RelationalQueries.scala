@@ -129,6 +129,32 @@ object RelationalQueries {
         .where(col("rn") === 1 || col("rn") === (n / 2) || col("rn") === n)
         .select("l_partkey", "freq", "rn")
         .orderBy("rn")
+    }),
+
+    // A7 per-category id list (coco_balance.py getImgIds-per-cat): sorted
+    // distinct ids per group, joined to one string — the driver's pandas
+    // hash compare can't sort array cells, and the string form is the same
+    // total order both engines agree on
+    "q42_cat_list" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy("lang")
+        .agg(array_join(transform(array_sort(collect_set(col("doc_id"))),
+            _.cast("string")), ",").as("docs"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
+    // P13+P14 string kernels (tile_name from path, numeric-prefix id) over
+    // a deterministic synthetic path per document row — the exact column
+    // expressions Georeference/CocoToGeojson run in the pipelines
+    "q43_path_parts" -> ((s, dir) => {
+      val path = concat(col("source"), lit("/"),
+        col("doc_id").cast("string"), lit("_tile.png"))
+      t(s, dir, "documents").select(col("doc_id"), path.as("path"))
+        .withColumn("tile_name",
+          graft.io.Georeference.tileNameCol(element_at(split(col("path"), "/"), -1)))
+        .withColumn("num_id", graft.io.Georeference.numericIdCol(col("path")))
+        .select("doc_id", "tile_name", "num_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -193,6 +219,19 @@ object RelationalQueries {
          SELECT l_partkey, freq, rn FROM ranked
          WHERE rn = 1 OR rn = (SELECT count(*)//2 FROM freq)
             OR rn = (SELECT count(*) FROM freq)
-         ORDER BY rn"""
+         ORDER BY rn""",
+    "q42_cat_list" ->
+      """SELECT lang,
+         array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') AS docs,
+         count(*) AS n
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q43_path_parts" ->
+      """WITH p AS (SELECT doc_id,
+           source || '/' || CAST(doc_id AS VARCHAR) || '_tile.png' AS path
+           FROM documents)
+         SELECT doc_id,
+           split_part(split_part(path, '/', 2), '.', 1) AS tile_name,
+           CAST(regexp_extract(split_part(path, '/', 2), '^([0-9]+)', 1) AS BIGINT) AS num_id
+         FROM p ORDER BY doc_id"""
   )
 }
