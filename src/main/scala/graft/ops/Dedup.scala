@@ -49,13 +49,19 @@ object Dedup {
     * the multiplier must exceed the modulus so products wrap (a small one
     * keeps the map order-preserving → MinHash degrades to "hash of the
     * smallest vid"), and v=0 must not be a fixed point (v+1 shift) — else
-    * every doc containing vocab id 0 shares one signature. Output (id,j,mh). */
+    * every doc containing vocab id 0 shares one signature. Output (id,j,mh).
+    *
+    * Implemented as a typed partial/final [[MinhashAgg]]: one hash-agg
+    * shuffle keyed by doc id, each token folding its numHashes minima into
+    * a primitive long[] buffer — no numHashes× row explode (the previous
+    * column form shuffled `numHashes · |tokens|` rows; same shuffle-IO fix
+    * as SimHash in round 2). The signature array then explodes to the
+    * (id, j, mh) layout LSH banding and the q27 oracle consume. */
   def minhash(tokenVids: DataFrame, numHashes: Int): DataFrame =
-    tokenVids
-      .withColumn("j", explode(sequence(lit(0), lit(numHashes - 1))))
-      .withColumn("h",
-        ((col("vid") + 1L) * (lit(2654435761L) + col("j") * 2L) + col("j") * 7919L) % MersennePrime)
-      .groupBy("id", "j").agg(min("h").as("mh"))
+    tokenVids.groupBy("id")
+      .agg(MinhashAgg.udafCol(numHashes, col("vid")).as("sig"))
+      .select(col("id"), posexplode(col("sig")).as(Seq("j", "mh")))
+      .select(col("id"), col("j").cast("int").as("j"), col("mh"))
 
   /** LSH candidate pairs from MinHash signatures with bands of 2 rows:
     * band key packs the two minima collision-free into one Long. Output

@@ -73,6 +73,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("join-based pair re-rank plans as two equi-joins, never nested-loop") {
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val pairs = (0 until 40).map(i => (i.toLong, ((i + 1) % 40).toLong)).toDF("qid", "pid")
+    val df = graft.ops.Similarity.scorePairsJoin(pairs, emb, "vec_id", "embedding")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("minhash signatures are one hash-agg shuffle (no numHashes-times row explode)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tv = (0 until 100).map(i => (i.toLong % 10, i.toLong)).toDF("id", "vid")
+    val df = graft.ops.Dedup.minhash(tv, 64)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the generate (posexplode of the signature array) must sit ABOVE the
+    // aggregate, not below the shuffle like the old 64x row-explode form
+    val genIdx = p.indexOf("Generate")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(genIdx >= 0 && aggIdx >= 0 && genIdx < aggIdx,
+      s"explode should be post-aggregation:\n$p")
+  }
+
   test("cell encode compiles to pure built-in expressions (no UDF in plan)") {
     val pts = WebPages.features(WebPages.pages(spark, 10, 1))
     val df = pts.select(CellIndex.Unit20.encodeCol(col("x"), col("y"), 10))
