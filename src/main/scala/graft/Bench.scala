@@ -45,7 +45,7 @@ object Bench {
         "-Djts.overlay=ng", "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC") ++ addOpens ++ Seq(
         "-cp", System.getProperty("java.class.path"),
-        "graft.ScalingBench", "bench", cpus, dir, "jtsfast")
+        "graft.ScalingBench", "bench", cpus, dir, "jtsfast", "3")
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()

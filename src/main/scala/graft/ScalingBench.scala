@@ -46,11 +46,12 @@ object ScalingBench {
     case "bench" =>
       val (cores, dir) = (args(1).toInt, args(2))
       val variant = if (args.length > 3) args(3) else "jts"
+      val trials = if (args.length > 4) args(4).toInt else 2
       val spark = session(cores)
       spark.sparkContext.setLogLevel("WARN")
       val rows = spark.read.parquet(dir).count()
       Flagship.run(spark, dir, variant) // warmup: codegen + page cache
-      val secs = (1 to 2).map { _ =>
+      val secs = (1 to trials).map { _ =>
         val t0 = System.nanoTime(); Flagship.run(spark, dir, variant)
         (System.nanoTime() - t0) / 1e9
       }

@@ -123,10 +123,12 @@ object CocoOps {
       }
       items.clear()
     }
-    val bcTrain = spark.sparkContext.broadcast(trainIds.toSet)
-    val isTrain = udf { (id: Long) => bcTrain.value.contains(id) }
+    // semi/anti joins against the assignment table (not a UDF over a
+    // broadcast set): AQE broadcasts the id side while it fits and falls
+    // back to a shuffle join beyond that
+    val trainDf = spark.createDataset(trainIds.toSeq).toDF("id")
     def side(train: Boolean): CocoTables = {
-      val anns = kept.where(if (train) isTrain(col("id")) else !isTrain(col("id")))
+      val anns = kept.join(trainDf, Seq("id"), if (train) "left_semi" else "left_anti")
         .select(t.annotations.columns.map(col).toIndexedSeq: _*).as[CocoAnnotation]
       val imgs = t.images.toDF()
         .join(anns.select(col("imageId").as("id")).distinct(), Seq("id"), "left_semi")
