@@ -179,6 +179,63 @@ object Dedup {
     }.toDF("a", "b", "cos")
   }
 
+  /** Connected components over an undirected candidate-pair set (a, b) —
+    * the dedup CLUSTERING step every near-dup pipeline needs between
+    * "candidate pairs" ([[lshCandidates]], [[ngramJaccard]],
+    * [[embeddingNearDup]]) and "keep one per group": transitive duplicates
+    * (A~B, B~C) must land in ONE group even when (A,C) was never a
+    * candidate. Output: (id, comp) for every node appearing in `pairs`,
+    * comp = the component's minimum id (so `id === comp` IS the keeper
+    * predicate).
+    *
+    * Algorithm: min-label flooding — each round every node takes the min
+    * of its own and its neighbours' labels (one equi-join + hash-agg per
+    * round, all shuffles keyed by node id). Converges in O(component
+    * diameter) rounds; near-dup components are band-collision quasi-cliques
+    * with diameter ≈ 2-3, so 3-4 rounds settle real corpora (rounds are
+    * capped; the cap trips only on adversarial long-chain graphs, where the
+    * alternating star-contraction algorithm would be the next step).
+    * Round-local frames are persisted one round at a time and re-rooted on
+    * their RDD (same hygiene as Knn — plan depth stays constant). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    def barrier(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+    val e = pairs.select(col("a").cast("long"), col("b").cast("long"))
+    val edges = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = barrier(edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      iter += 1
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("comp").as("nbrComp")), "b")
+        .groupBy("a").agg(min("nbrComp").as("minNbr"))
+      val next = barrier(labels
+        .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("minNbr"), col("comp"))).as("comp"),
+          (coalesce(col("minNbr"), col("comp")) < col("comp")).cast("long").as("chg")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.agg(sum("chg")).head().getLong(0)
+      labels.unpersist(false)
+      labels = next
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("comp", org.apache.spark.sql.types.LongType)))
+    val outRdd = labels.select("id", "comp").rdd
+    outRdd.localCheckpoint()
+    outRdd.count()
+    labels.unpersist(false)
+    edges.unpersist(false)
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
   /** Hamming distance between two packed simhash values — bit_count of xor. */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     bit_count(a.bitwiseXOR(b))

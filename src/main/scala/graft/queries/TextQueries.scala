@@ -98,6 +98,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // dedup clustering: minhash → banded LSH candidate pairs → connected
+    // components (min-label flooding), every doc labeled with its group's
+    // min id; component == doc_id is the keeper predicate. The oracle runs
+    // the identical chain with a recursive-CTE transitive closure.
+    "q44_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val voc = Dedup.vocab(docs, "text")
+      val tv = Dedup.docTokenVids(docs, "doc_id", "text", voc)
+      val pairs = Dedup.lshCandidates(Dedup.minhash(tv, 8))
+      val cc = Dedup.connectedComponents(pairs)
+      docs.select(col("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
+        .withColumn("is_keeper", col("component") === col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // P20 / input_hint invariant: byte-identical extracted text per url,
     // over the synthetic web-page table (UDF-free decode + regexp chain)
     "q29_extract_text" -> ((s, dir) => {
@@ -192,6 +209,27 @@ object TextQueries {
            list_reduce(list_prepend(CAST(1125899906842597 AS BIGINT), vl),
              (x, y) -> (x*31 + y) % 72057594037927936) AS fp
          FROM vids ORDER BY doc_id""",
+    "q44_components" ->
+      s"""WITH RECURSIVE $tvSql,
+         mh AS (SELECT doc_id, j, min(((vid+1)*(2654435761 + 2*j) + j*7919) % 2147483647) AS mh
+           FROM tv, unnest(generate_series(0,7)) AS g(j) GROUP BY 1,2),
+         bk AS (SELECT doc_id, j//2 AS band,
+             min(CASE WHEN j%2=0 THEN mh END) * 2147483647 +
+             min(CASE WHEN j%2=1 THEN mh END) AS bandkey
+           FROM mh GROUP BY doc_id, j//2),
+         pairs AS (SELECT b1.doc_id AS a, b2.doc_id AS b FROM bk b1 JOIN bk b2
+           ON b1.band = b2.band AND b1.bandkey = b2.bandkey AND b1.doc_id < b2.doc_id
+           GROUP BY 1, 2),
+         edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+         reach(id, r) AS (
+           SELECT a AS id, a AS r FROM edges
+           UNION
+           SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+           coalesce(c.component, d.doc_id) = d.doc_id AS is_keeper
+         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         ORDER BY d.doc_id""",
     "q29_extract_text" -> {
       val words = WebPages.Words.map(w => s"'$w'").mkString("[", ",", "]")
       val langs = WebPages.Langs.map(w => s"'$w'").mkString("[", ",", "]")

@@ -108,6 +108,33 @@ class DedupSpec extends SparkSpec {
     assert(nearAvg < farAvg / 2, s"no separation: near=$nearAvg far=$farAvg")
   }
 
+  test("connectedComponents matches union-find on chains, cliques, and crosses") {
+    val spark2 = spark
+    import spark2.implicits._
+    // chain 1-2-3-4-5 (transitive, no direct 1-5 edge), clique {10,11,12},
+    // cross {20,21}+{21,22}, isolated pair {30,31}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (30L, 31L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.collect().foreach { r =>
+      val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+    val expect = nodes.map { n =>
+      val root = find(n)
+      n -> nodes.filter(m => find(m) == root).min
+    }.toMap
+    assert(got == expect)
+    // keeper predicate: exactly one per component
+    assert(got.count { case (id, c) => id == c } == expect.values.toSet.size)
+  }
+
   test("exact dedup keeps min id per key with counts") {
     val spark2 = spark
     import spark2.implicits._
