@@ -65,4 +65,46 @@ object TextAnalysis {
   def fingerprint(vids: Column): Column =
     aggregate(vids, lit(1125899906842597L % FingerprintMod),
       (acc, v) => pmod(acc * 31L + v, lit(FingerprintMod)))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, word-unit
+    * simplification — the corpus has no line structure):
+    *  - `dup_token_frac`: 1 − distinct/total tokens,
+    *  - `top_bigram_frac`: characters of the most frequent word bigram
+    *    (count × bigram length) / document length; ties break on the
+    *    lexicographically largest bigram (max over (count, gram) structs —
+    *    identical total order in both engines),
+    *  - `dup_trigram_frac`: characters of trigrams occurring more than
+    *    once (Σ count × length) / document length, overlap-agnostic.
+    * Scale shape: one explode + hash-agg per n-gram size, shuffles keyed
+    * by (doc, gram) then doc — linear in corpus tokens, no self-joins. */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("nc", length(col("text")))
+    def gramRows(n: Int) = base.select(col("id"), col("nc"),
+      explode(when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val dupTok = base.select(col("id"),
+      ((col("n_tokens") - size(array_distinct(col("toks")))).cast("double") /
+        col("n_tokens").cast("double")).as("dup_token_frac"))
+    val top = gramRows(2).groupBy("id", "nc", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("id", "nc").agg(max(struct(col("cnt"), col("gram"))).as("t"))
+      .select(col("id"), ((col("t.cnt") * length(col("t.gram"))).cast("double") /
+        col("nc").cast("double")).as("top_bigram_frac"))
+    val tri = gramRows(3).groupBy("id", "nc", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("id", "nc")
+      .agg(sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))
+        .otherwise(0L)).as("dupChars"))
+      .select(col("id"),
+        (col("dupChars").cast("double") / col("nc").cast("double")).as("dup_trigram_frac"))
+    base.select("id", "n_tokens").join(dupTok, "id")
+      .join(top, Seq("id"), "left").join(tri, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("dup_token_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
+  }
 }

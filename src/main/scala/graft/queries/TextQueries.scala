@@ -98,6 +98,13 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition quality signals (word-unit simplification)
+    "q45_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // dedup clustering: minhash → banded LSH candidate pairs → connected
     // components (min-label flooding), every doc labeled with its group's
     // min id; component == doc_id is the keeper predicate. The oracle runs
@@ -209,6 +216,33 @@ object TextQueries {
            list_reduce(list_prepend(CAST(1125899906842597 AS BIGINT), vl),
              (x, y) -> (x*31 + y) % 72057594037927936) AS fp
          FROM vids ORDER BY doc_id""",
+    "q45_repetition" ->
+      """WITH base AS (SELECT doc_id, text, string_split(text,' ') AS ts,
+             length(text) AS nc FROM documents),
+         bi AS (SELECT doc_id, nc, array_to_string(ts[i:i+1],' ') AS gram
+           FROM base, unnest(generate_series(1, len(ts)-1)) AS u(i)),
+         bic AS (SELECT doc_id, nc, gram, count(*) AS cnt FROM bi GROUP BY 1,2,3),
+         top AS (SELECT doc_id,
+             CAST(struct_extract(t,'cnt') * length(struct_extract(t,'gram')) AS DOUBLE)
+               / CAST(nc AS DOUBLE) AS top_bigram_frac
+           FROM (SELECT doc_id, nc, max({'cnt': cnt, 'gram': gram}) AS t
+                 FROM bic GROUP BY 1,2)),
+         tri AS (SELECT doc_id, nc, array_to_string(ts[i:i+2],' ') AS gram
+           FROM base, unnest(generate_series(1, len(ts)-2)) AS u(i)),
+         tric AS (SELECT doc_id, nc, gram, count(*) AS cnt FROM tri GROUP BY 1,2,3),
+         dtri AS (SELECT doc_id,
+             CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS DOUBLE)
+               / CAST(nc AS DOUBLE) AS dup_trigram_frac
+           FROM tric GROUP BY doc_id, nc)
+         SELECT b.doc_id,
+           CAST(len(b.ts) AS INTEGER) AS n_tokens,
+           CAST(len(b.ts) - len(list_distinct(b.ts)) AS DOUBLE)
+             / CAST(len(b.ts) AS DOUBLE) AS dup_token_frac,
+           coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac,
+           coalesce(dtri.dup_trigram_frac, 0.0) AS dup_trigram_frac
+         FROM base b LEFT JOIN top ON top.doc_id = b.doc_id
+           LEFT JOIN dtri ON dtri.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
     "q44_components" ->
       s"""WITH RECURSIVE $tvSql,
          mh AS (SELECT doc_id, j, min(((vid+1)*(2654435761 + 2*j) + j*7919) % 2147483647) AS mh
