@@ -221,7 +221,7 @@ object Dedup {
           least(col("comp"), coalesce(col("minNbr"), col("comp"))).as("comp"),
           (coalesce(col("minNbr"), col("comp")) < col("comp")).cast("long").as("chg")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.agg(sum("chg")).head().getLong(0)
+      changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
       labels.unpersist(false)
       labels = next
     }

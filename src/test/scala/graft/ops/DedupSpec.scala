@@ -133,6 +133,8 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
     // keeper predicate: exactly one per component
     assert(got.count { case (id, c) => id == c } == expect.values.toSet.size)
+    // empty pair set → empty labeling, no NPE from the null sum
+    assert(Dedup.connectedComponents(pairs.where(lit(false))).count() == 0)
   }
 
   test("exact dedup keeps min id per key with counts") {
