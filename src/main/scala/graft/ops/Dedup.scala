@@ -63,11 +63,10 @@ object Dedup {
       .select(col("id"), posexplode(col("sig")).as(Seq("j", "mh")))
       .select(col("id"), col("j").cast("int").as("j"), col("mh"))
 
-  /** LSH candidate pairs from MinHash signatures with bands of 2 rows:
-    * band key packs the two minima collision-free into one Long. Output
-    * distinct (a, b) with a < b. */
-  def lshCandidates(signatures: DataFrame): DataFrame = {
-    val banded = signatures
+  /** (id, band, bandkey) rows from MinHash signatures with bands of 2
+    * rows: band key packs the two minima collision-free into one Long. */
+  private def bandedKeys(signatures: DataFrame): DataFrame =
+    signatures
       .withColumn("band", (col("j") / 2).cast("int"))
       .withColumn("slot", col("j") % 2)
       .groupBy("id", "band")
@@ -75,6 +74,15 @@ object Dedup {
         min(when(col("slot") === 1, col("mh"))).as("m1"))
       .withColumn("bandkey", col("m0") * MersennePrime + col("m1"))
       .select("id", "band", "bandkey")
+
+  /** LSH candidate pairs from MinHash signatures. Output distinct (a, b)
+    * with a < b — EVERY colliding pair, for pipelines that score each
+    * candidate (exact Jaccard / cosine verify). A bucket of k docs emits
+    * (k choose 2) pairs, so this is quadratic per bucket BY DESIGN; when
+    * the downstream only needs GROUPING, use [[lshComponentEdges]], which
+    * is connectivity-equivalent and linear. */
+  def lshCandidates(signatures: DataFrame): DataFrame = {
+    val banded = bandedKeys(signatures)
     // rename columns on an independent projection — self-join on the same
     // lineage silently mis-resolves `l.id < r.id` to one side
     val left = banded.select(col("id").as("a"), col("band"), col("bandkey"))
@@ -82,6 +90,23 @@ object Dedup {
     left.join(right, Seq("band", "bandkey"))
       .where(col("a") < col("b"))
       .select("a", "b")
+      .distinct()
+  }
+
+  /** Connectivity edges from MinHash LSH buckets: each (band, bandkey)
+    * bucket contributes a STAR — bucket-min id ↔ every other member —
+    * instead of the (k choose 2) clique. The connected components are
+    * IDENTICAL (a star spans its bucket), but a k-doc bucket emits k−1
+    * edges instead of k(k−1)/2: at sf0.1 the gate graph drops from 7.8 M
+    * pairs to ~20 k edges; at corpus scale a hot band bucket stops being
+    * quadratic. One aggregation + one equi-join, both keyed by
+    * (band, bandkey). The natural input to [[connectedComponents]]. */
+  def lshComponentEdges(signatures: DataFrame): DataFrame = {
+    val banded = bandedKeys(signatures)
+    val bucketMin = banded.groupBy("band", "bandkey").agg(min("id").as("a"))
+    banded.join(bucketMin, Seq("band", "bandkey"))
+      .where(col("id") =!= col("a"))
+      .select(col("a"), col("id").as("b"))
       .distinct()
   }
 

@@ -113,8 +113,10 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val voc = Dedup.vocab(docs, "text")
       val tv = Dedup.docTokenVids(docs, "doc_id", "text", voc)
-      val pairs = Dedup.lshCandidates(Dedup.minhash(tv, 8))
-      val cc = Dedup.connectedComponents(pairs)
+      // star edges per bucket — connectivity-identical to the all-pairs
+      // candidates, linear instead of quadratic per band bucket
+      val edges = Dedup.lshComponentEdges(Dedup.minhash(tv, 8))
+      val cc = Dedup.connectedComponents(edges)
       docs.select(col("doc_id"))
         .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
