@@ -213,13 +213,12 @@ object Dedup {
     * comp = the component's minimum id (so `id === comp` IS the keeper
     * predicate).
     *
-    * Algorithm: min-label flooding — each round every node takes the min
-    * of its own and its neighbours' labels (one equi-join + hash-agg per
-    * round, all shuffles keyed by node id). Converges in O(component
-    * diameter) rounds; near-dup components are band-collision quasi-cliques
-    * with diameter ≈ 2-3, so 3-4 rounds settle real corpora (rounds are
-    * capped; the cap trips only on adversarial long-chain graphs, where the
-    * alternating star-contraction algorithm would be the next step).
+    * Algorithm: min-label flooding with SHORTCUTTING (Shiloach-Vishkin
+    * style) — each round every node takes the min of its own, its
+    * neighbours', and its label's label (pointer doubling), so convergence
+    * is O(log diameter) rounds, not O(diameter): a 300-link near-dup CHAIN
+    * (common in crawl snapshots — page series) settles in ~9 rounds. Each
+    * round is two equi-joins + a hash-agg, all shuffles keyed by node id.
     * Round-local frames are persisted one round at a time and re-rooted on
     * their RDD (same hygiene as Knn — plan depth stays constant). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
@@ -240,11 +239,18 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("comp").as("nbrComp")), "b")
         .groupBy("a").agg(min("nbrComp").as("minNbr"))
-      val next = barrier(labels
+      val hopped = labels
         .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("minNbr"), col("comp"))).as("comp"),
-          (coalesce(col("minNbr"), col("comp")) < col("comp")).cast("long").as("chg")))
+          col("comp").as("oldComp"))
+      // shortcutting: also adopt the label OF the current label
+      val next = barrier(hopped
+        .join(labels.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("comp2"), col("comp"))).as("comp"),
+          (least(col("comp"), coalesce(col("comp2"), col("comp"))) < col("oldComp"))
+            .cast("long").as("chg")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
       labels.unpersist(false)

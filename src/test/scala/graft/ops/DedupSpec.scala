@@ -137,6 +137,18 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs.where(lit(false))).count() == 0)
   }
 
+  test("connectedComponents: 300-link chain converges within the round cap (shortcutting)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a path graph is the worst case for plain min-flooding (O(diameter));
+    // pointer doubling must settle it in O(log n) rounds — well under the
+    // default cap of 25
+    val chain = (0 until 300).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 301 && got.values.forall(_ == 0L))
+  }
+
   test("exact dedup keeps min id per key with counts") {
     val spark2 = spark
     import spark2.implicits._
