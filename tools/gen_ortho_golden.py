@@ -23,7 +23,7 @@ import statistics
 import sys
 
 REF = "/root/reference/aerial_conversion/orthogonalise/orthogonalise.py"
-OUT = "src/test/resources/ortho_golden.json"
+OUT = "src/main/resources/ortho_golden.json"
 
 # -- exec only the pure-math defs from the reference file --
 tree = ast.parse(open(REF).read())
