@@ -267,6 +267,29 @@ object Dedup {
     spark.createDataFrame(outRdd, outSchema)
   }
 
+  /** End-to-end embedding near-duplicate DEDUP — the full production
+    * pipeline in one call: banded SRP-LSH candidate pairs
+    * ([[Similarity.lshCandidatePairs]], equi-join on (band, bandkey)) →
+    * exact cosine re-score of candidates only ([[Similarity.scorePairs]],
+    * broadcast-or-join auto-selected) → keep pairs with cos ≥ `tau` →
+    * transitive grouping ([[connectedComponents]]). Output: (id, component)
+    * for every id in `emb`, component = group-min id (singletons are their
+    * own component), so `id === component` is the keeper predicate.
+    * Every stage is bucketed/keyed — nothing quadratic in the corpus,
+    * nothing collected to the driver. */
+  def nearDupGroups(emb: DataFrame, idCol: String, vecCol: String, tau: Double,
+                    bands: Int, rowsPerBand: Int): DataFrame = {
+    val cand = Similarity.lshCandidatePairs(emb, idCol, vecCol, bands, rowsPerBand)
+    val scored = Similarity.scorePairs(
+      cand.select(col("a").as("qid"), col("b").as("pid")), emb, idCol, vecCol)
+    val edges = scored.where(col("cos") >= tau)
+      .select(col("qid").as("a"), col("pid").as("b"))
+    val cc = connectedComponents(edges)
+    emb.select(col(idCol).cast("long").as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
+  }
+
   /** Hamming distance between two packed simhash values — bit_count of xor. */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     bit_count(a.bitwiseXOR(b))

@@ -125,9 +125,12 @@ object Similarity {
     key
   }
 
-  def annLshBanded(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-                   bands: Int, rowsPerBand: Int): DataFrame = {
-    val spark = emb.sparkSession
+  /** Banded SRP-LSH candidate pairs — the candidate stage shared by
+    * [[annLshBanded]] and the end-to-end near-dup pipeline
+    * ([[Dedup.nearDupGroups]]). Distinct (a, b) with a < b; the self-join
+    * is an EQUI-join on (band, bandkey), never all-pairs. */
+  def lshCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
     val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val sigSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
@@ -147,9 +150,14 @@ object Similarity {
     // mis-resolve the a<b predicate
     val left = sigs.select(col("id").as("a"), col("band"), col("bkey"))
     val right = sigs.select(col("id").as("b"), col("band"), col("bkey"))
-    val cand = left.join(right, Seq("band", "bkey"))
+    left.join(right, Seq("band", "bkey"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  def annLshBanded(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                   bands: Int, rowsPerBand: Int): DataFrame = {
+    val cand = lshCandidatePairs(emb, idCol, vecCol, bands, rowsPerBand)
     val directed = cand.unionByName(cand.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("qid"), col("b").as("pid"))
     val scored = scorePairs(directed, emb, idCol, vecCol)
@@ -255,7 +263,8 @@ object Similarity {
 
   /** Plan-stats size (bytes) below which [[scorePairs]] collects+broadcasts
     * the vector table; above it the vectors are shuffled onto the pairs.
-    * 256 MB of float vectors is dim-table territory for an 8g+ driver. */
+    * 256 MB of float vectors is dim-table territory for an 8g+ driver.
+    * Override per session with `graft.similarity.broadcastBytes`. */
   val BroadcastVecBytes: Long = 256L << 20
 
   /** Exact cosine for candidate (qid, pid) pairs — auto-selects the plan
@@ -265,8 +274,10 @@ object Similarity {
     * fold kernel per row, so results are bit-identical either way. */
   def scorePairs(pairs: DataFrame, emb: DataFrame, idCol: String,
                  vecCol: String): DataFrame = {
+    val threshold = emb.sparkSession.conf
+      .get("graft.similarity.broadcastBytes", BroadcastVecBytes.toString).toLong
     val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes <= BigInt(BroadcastVecBytes)) scorePairsBroadcast(pairs, emb, idCol, vecCol)
+    if (bytes <= BigInt(threshold)) scorePairsBroadcast(pairs, emb, idCol, vecCol)
     else scorePairsJoin(pairs, emb, idCol, vecCol)
   }
 

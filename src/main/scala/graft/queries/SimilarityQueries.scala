@@ -49,6 +49,18 @@ object SimilarityQueries {
         .orderBy("a", "b")
     }),
 
+    // the FULL embedding near-dup dedup pipeline, end-to-end: banded
+    // SRP-LSH candidates → exact cosine ≥ τ → connected components →
+    // keeper per group; the oracle replays every stage and closes the
+    // edge set with a recursive CTE
+    "q47_neardup_pipeline" -> ((s, dir) => {
+      graft.ops.Dedup.nearDupGroups(t(s, dir, "embeddings"), "vec_id", "embedding",
+          tau = 0.25, bands = AnnBands, rowsPerBand = AnnRowsPerBand)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("is_keeper", col("component") === col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
     // IVF-Flat ANN: deterministic coarse quantizer (the 16 vectors with
     // the smallest (id·2654435761) mod (2^31−1) — a seeded hash-strided
     // sample, balanced on id-clustered data), nProbe=3 probed lists, exact
@@ -136,6 +148,28 @@ object SimilarityQueries {
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, pid ASC) AS rn
             FROM scored)
          WHERE rn <= 2 ORDER BY qid, rnk""",
+    "q47_neardup_pipeline" ->
+      s"""WITH RECURSIVE $eSql,
+         sigs AS ($sigsSql),
+         cand AS (SELECT s1.vec_id AS a, s2.vec_id AS b FROM sigs s1 JOIN sigs s2
+           ON s1.band = s2.band AND s1.bkey = s2.bkey AND s1.vec_id < s2.vec_id
+           GROUP BY 1, 2),
+         scored AS (SELECT cand.a, cand.b,
+             list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+               l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x,y) -> x + y)
+               / (ea.n * eb.n) AS cos
+           FROM cand JOIN e ea ON ea.vec_id = cand.a JOIN e eb ON eb.vec_id = cand.b),
+         ed AS (SELECT a, b FROM scored WHERE cos >= 0.25
+           UNION SELECT b, a FROM scored WHERE cos >= 0.25),
+         reach(id, r) AS (
+           SELECT a AS id, a AS r FROM ed
+           UNION
+           SELECT ed.a, reach.r FROM ed JOIN reach ON reach.id = ed.b),
+         comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         SELECT em.vec_id, coalesce(c.component, em.vec_id) AS component,
+           coalesce(c.component, em.vec_id) = em.vec_id AS is_keeper
+         FROM embeddings em LEFT JOIN comp c ON c.id = em.vec_id
+         ORDER BY em.vec_id""",
     "q37_ann_lsh" ->
       s"""WITH $eSql,
          sigs AS ($sigsSql),
