@@ -11,14 +11,15 @@ import org.apache.spark.sql.types._
   * batch shape: one task processes an iterator of rows, vectorizable
   * libraries plug in per partition).
   *
-  * The IMAGE modality decodes for real: the JDK ships PNG/JPEG codecs
-  * (javax.imageio), so [[JdkImage]] does actual decode / resample /
-  * channel-stat extraction on payload bytes. No video/audio codec exists in
-  * this container, so the VIDEO decode step remains a clearly-marked
-  * deterministic fake (`FakeCodec`, fixed-layout header); everything around
-  * it — schema, partitioning, batch iteration, metadata propagation — is
-  * real and tested; swapping `FakeCodec` for javacv/ffmpeg is a
-  * one-function change.
+  * The IMAGE modality decodes for real (JDK javax.imageio PNG/JPEG:
+  * [[JdkImage]] decode / resample / channel stats), and so does AUDIO
+  * ([[Wav]]: hand-rolled RIFF/WAVE PCM16 decode / encode / downsample /
+  * rms-peak stats — no external codec needed for the dominant
+  * uncompressed format). Only VIDEO keeps a clearly-marked deterministic
+  * fake (`FakeCodec`, fixed-layout header — no video codec exists in this
+  * container); everything around it — schema, partitioning, batch
+  * iteration, metadata propagation — is real and tested; swapping
+  * `FakeCodec` for javacv/ffmpeg is a one-function change.
   */
 object Multimodal {
 
@@ -135,6 +136,115 @@ object Multimodal {
         (id, "video", FakeCodec.encode(w, h, 1 + (id % 4).toInt, body))
       } else (id, "image", JdkImage.syntheticPng(id, w, h))
     }.toDF("media_id", "kind", "payload")
+  }
+
+  /** REAL audio codec: RIFF/WAVE PCM16 little-endian (the dominant
+    * uncompressed interchange format), hand-rolled over the public RIFF
+    * spec — decode, encode, frame-decimating downsample, and per-channel
+    * stats. Audio is now a REAL modality next to images; only video keeps
+    * the documented fake. */
+  object Wav {
+    /** Mono/stereo PCM16 WAV bytes from interleaved samples. */
+    def encode(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+        .putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+
+    /** (sampleRate, channels, interleaved samples). Walks RIFF chunks, so
+      * extra chunks (LIST/fact) before `data` are fine. */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 12 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE payload")
+      var pos = 12
+      var rate = -1; var channels = -1; var bits = -1
+      var data: Array[Short] = null
+      while (pos + 8 <= bytes.length && (rate < 0 || data == null)) {
+        val tag = new String(bytes, pos, 4, "US-ASCII")
+        val len = buf.getInt(pos + 4)
+        tag match {
+          case "fmt " =>
+            require((buf.getShort(pos + 8) & 0xFFFF) == 1, "only PCM WAV supported")
+            channels = buf.getShort(pos + 10) & 0xFFFF
+            rate = buf.getInt(pos + 12)
+            bits = buf.getShort(pos + 22) & 0xFFFF
+            require(bits == 16, s"only 16-bit PCM supported (got $bits)")
+          case "data" =>
+            val n = len / 2
+            data = new Array[Short](n)
+            var i = 0
+            while (i < n) { data(i) = buf.getShort(pos + 8 + i * 2); i += 1 }
+          case _ => // skip LIST/fact/...
+        }
+        pos += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      require(rate > 0 && data != null, "missing fmt/data chunk")
+      (rate, channels, data)
+    }
+
+    /** Keep every `factor`-th FRAME (all channels of it) and divide the
+      * declared sample rate — the audio analog of image resampling. */
+    def downsample(bytes: Array[Byte], factor: Int): Array[Byte] = {
+      val (rate, ch, s) = decode(bytes)
+      val frames = s.length / ch
+      val kept = (0 until frames by factor).toArray
+      val out = new Array[Short](kept.length * ch)
+      var o = 0
+      kept.foreach { f =>
+        var c = 0
+        while (c < ch) { out(o) = s(f * ch + c); o += 1; c += 1 }
+      }
+      encode(rate / factor, ch, out)
+    }
+
+    /** Per-channel (rms, peak) over normalized [-1, 1) samples plus the
+      * clip duration in seconds. */
+    def stats(bytes: Array[Byte]): (Double, Array[Double], Array[Double]) = {
+      val (rate, ch, s) = decode(bytes)
+      val frames = s.length / ch
+      val sumSq = new Array[Double](ch)
+      val peak = new Array[Double](ch)
+      var i = 0
+      while (i < s.length) {
+        val c = i % ch
+        val v = s(i) / 32768.0
+        sumSq(c) += v * v
+        if (math.abs(v) > peak(c)) peak(c) = math.abs(v)
+        i += 1
+      }
+      val rms = sumSq.map(x => math.sqrt(x / math.max(frames, 1)))
+      (frames.toDouble / rate, rms, peak)
+    }
+  }
+
+  /** FEATURE stage for audio payloads: duration + per-channel rms/peak. */
+  def audioStats(media: DataFrame): DataFrame = {
+    val schema = media.schema
+      .add("duration_s", DoubleType).add("rms", ArrayType(DoubleType))
+      .add("peak", ArrayType(DoubleType))
+    val pIdx = media.schema.fieldIndex("payload")
+    val kIdx = media.schema.fieldIndex("kind")
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.getString(kIdx) == "audio") {
+          val (dur, rms, peak) = Wav.stats(r.getAs[Array[Byte]](pIdx))
+          Row.fromSeq(r.toSeq ++ Seq(dur, rms.toSeq, peak.toSeq))
+        } else Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+      }
+    }
   }
 
   /** DECODE stage with the real image codec: PNG/JPEG payloads decode via

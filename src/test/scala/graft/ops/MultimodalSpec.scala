@@ -63,6 +63,51 @@ class MultimodalSpec extends SparkSpec {
       d.where(col("kind") === "video").count())
   }
 
+  test("real WAV modality: round trip, chunk walk, downsample, rms/peak stats") {
+    import Multimodal.Wav
+    // stereo square wave at ±8192 (L) and a ramp (R), 8 kHz, 800 frames
+    val frames = 800
+    val samples = new Array[Short](frames * 2)
+    for (f <- 0 until frames) {
+      samples(f * 2) = (if ((f / 4) % 2 == 0) 8192 else -8192).toShort
+      samples(f * 2 + 1) = ((f % 64) * 512 - 16384).toShort
+    }
+    val wav = Wav.encode(8000, 2, samples)
+    val (rate, ch, back) = Wav.decode(wav)
+    assert(rate == 8000 && ch == 2 && back.toSeq == samples.toSeq)
+
+    // an extra LIST chunk before data must be skipped by the chunk walk
+    val extra = java.nio.ByteBuffer.allocate(wav.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(wav, 0, 36) // RIFF..fmt chunk
+    extra.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    extra.put(wav, 36, wav.length - 36)
+    extra.putInt(4, 36 + 12 + (wav.length - 44)) // fix RIFF size
+    val (r2, c2, b2) = Wav.decode(extra.array())
+    assert(r2 == 8000 && c2 == 2 && b2.toSeq == samples.toSeq)
+
+    // square wave: rms == peak == 8192/32768 exactly
+    val (dur, rms, peak) = Wav.stats(wav)
+    assert(dur == frames / 8000.0)
+    assert(math.abs(rms(0) - 0.25) < 1e-12 && peak(0) == 0.25)
+    assert(peak(1) > rms(1) && rms(1) > 0) // ramp channel sanity
+
+    // downsample: half the frames, half the declared rate, same duration
+    val down = Wav.downsample(wav, 2)
+    val (r3, c3, s3) = Wav.decode(down)
+    assert(r3 == 4000 && c3 == 2 && s3.length == frames / 2 * 2)
+    assert(Wav.stats(down)._1 == dur)
+
+    // distributed audioStats over the media frame shape
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq((1L, "audio", wav), (2L, "image", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "payload")
+    val stats = Multimodal.audioStats(media).collect().sortBy(_.getLong(0))
+    assert(stats(0).getDouble(3) == dur && stats(0).getSeq[Double](4).head == rms(0))
+    assert(stats(1).isNullAt(3))
+  }
+
   test("fingerprint is deterministic across partitionings") {
     val a = Multimodal.fingerprint(media.repartition(2))
       .select("media_id", "fp").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
