@@ -453,14 +453,34 @@ object GeoTiff {
     out
   }
 
+  /** [[readWindow]] with 16-bit samples normalized to LITTLE-ENDIAN byte
+    * order — the raw-byte form [[write]] accepts regardless of the source
+    * raster's byte order (identity for 8-bit and LE sources). */
+  def readWindowLE(bytes: Array[Byte], info: TiffInfo,
+                   colOff: Int, rowOff: Int, w: Int, h: Int): Array[Byte] = {
+    val raw = readWindow(bytes, info, colOff, rowOff, w, h)
+    if (info.bytesPerSample == 2 && !info.littleEndian) {
+      var i = 0
+      while (i < raw.length) {
+        val t = raw(i); raw(i) = raw(i + 1); raw(i + 1) = t
+        i += 2
+      }
+    }
+    raw
+  }
+
   /** Single-strip GeoTIFF with affine tags. `pixels` is chunky (w·h·bands
     * bytes). `compression`: 1 = none (default, the reference's rasterio
     * write path), 5 = LZW, 8 = Deflate — what GDAL writes for real aerial
     * rasters; both round-trip through [[parse]]/[[readWindow]]. */
   def write(width: Int, height: Int, bands: Int, pixels: Array[Byte],
             a: Double, bAff: Double, c: Double, d: Double, e: Double, f: Double,
-            compression: Int = 1): Array[Byte] = {
-    require(pixels.length == width * height * bands)
+            compression: Int = 1, bitsPerSample: Int = 8): Array[Byte] = {
+    require(bitsPerSample == 8 || bitsPerSample == 16,
+      s"write supports 8/16-bit samples (got $bitsPerSample)")
+    // 16-bit pixels must arrive LITTLE-ENDIAN (the writer's byte order);
+    // readWindowLE normalizes windows cut from big-endian sources
+    require(pixels.length == width * height * bands * (bitsPerSample / 8))
     require(bAff == 0 && d == 0, "GeoTIFF write requires an axis-aligned transform")
     val strip = compression match {
       case 1 => pixels
@@ -480,13 +500,14 @@ object GeoTiff {
     val afterPixels = dataOff + strip.length
     val bpsOff = afterPixels // BitsPerSample array when bands > 2
     val bpsLen = if (bands > 2) bands * 2 else 0
+    val bpsL = bitsPerSample.toLong
     val scaleOff = bpsOff + bpsLen
     val tieOff = scaleOff + 3 * 8
     val ifdOff = tieOff + 6 * 8
     val tags = Seq[(Int, Int, Long, Long)](
       (256, 4, 1, width.toLong), (257, 4, 1, height.toLong),
       (258, 3, bands.toLong, if (bands > 2) bpsOff.toLong
-        else if (bands == 2) 8L | (8L << 16) else 8L),
+        else if (bands == 2) bpsL | (bpsL << 16) else bpsL),
       (259, 3, 1, compression.toLong),
       (262, 3, 1, if (bands >= 3) 2L else 1L), // RGB vs grayscale
       (273, 4, 1, dataOff.toLong),
@@ -502,7 +523,7 @@ object GeoTiff {
     buf.putShort(2, 42)
     buf.putInt(4, ifdOff)
     System.arraycopy(strip, 0, buf.array(), dataOff, strip.length)
-    if (bands > 2) (0 until bands).foreach(i => buf.putShort(bpsOff + i * 2, 8))
+    if (bands > 2) (0 until bands).foreach(i => buf.putShort(bpsOff + i * 2, bitsPerSample.toShort))
     buf.putDouble(scaleOff, a); buf.putDouble(scaleOff + 8, -e); buf.putDouble(scaleOff + 16, 0.0)
     buf.putDouble(tieOff, 0.0); buf.putDouble(tieOff + 8, 0.0); buf.putDouble(tieOff + 16, 0.0)
     buf.putDouble(tieOff + 24, c); buf.putDouble(tieOff + 32, f); buf.putDouble(tieOff + 40, 0.0)

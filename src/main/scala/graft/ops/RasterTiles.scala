@@ -37,9 +37,11 @@ object RasterTiles {
         val info = GeoTiff.parse(bytes)
         Tiling.tilesFor(info.toMeta(p), tileWidth, tileHeight, mapUnits, offsetPct)
           .map { t =>
-            val pixels = GeoTiff.readWindow(bytes, info, t.colOff, t.rowOff, t.width, t.height)
+            // LE-normalized raw window so 16-bit sources (either byte
+            // order, any compression/tiling) re-wrap into valid payloads
+            val pixels = GeoTiff.readWindowLE(bytes, info, t.colOff, t.rowOff, t.width, t.height)
             val tiff = GeoTiff.write(t.width, t.height, info.samplesPerPixel, pixels,
-              t.a, t.b, t.c, t.d, t.e, t.f)
+              t.a, t.b, t.c, t.d, t.e, t.f, bitsPerSample = info.bitsPerSample)
             (t.rasterId, t.tileName, t.colOff, t.rowOff, t.width, t.height,
               t.a, t.b, t.c, t.d, t.e, t.f, tiff)
           }
@@ -62,7 +64,18 @@ object RasterTiles {
       it.map { r =>
         val tiff = r.getAs[Array[Byte]](tI)
         val info = GeoTiff.parse(tiff)
-        val pixels = GeoTiff.readWindow(tiff, info, 0, 0, info.width, info.height)
+        // 16-bit payloads map to PNG via the high byte (rasterio's
+        // 8-bit-preview convention); 8-bit passes through untouched
+        val pixels =
+          if (info.bitsPerSample == 8)
+            GeoTiff.readWindow(tiff, info, 0, 0, info.width, info.height)
+          else {
+            val s = GeoTiff.readWindowSamples(tiff, info, 0, 0, info.width, info.height)
+            val b = new Array[Byte](s.length)
+            var i = 0
+            while (i < s.length) { b(i) = (s(i) >> 8).toByte; i += 1 }
+            b
+          }
         val png = GeoTiff.toPng(pixels, info.width, info.height,
           info.samplesPerPixel, bands, colour)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ png)

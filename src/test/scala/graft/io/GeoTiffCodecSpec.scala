@@ -10,12 +10,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   * parser is exercised against an independent byte layout, not its own
   * writer; the LZW bit format is additionally pinned by a hand-derived
   * known-answer vector (decoder correctness does not rest on the encoder). */
-class GeoTiffCodecSpec extends AnyFunSuite {
-
-  // ---------- fixture builder (independent of GeoTiff.write) ----------
+/** Hand-assembled TIFF fixtures shared by the codec spec and the
+  * distributed raster-pipeline tests. */
+object TiffFixtures {
 
   /** Assemble a classic TIFF: chunky samples, optional tiles, compression
-    * (1/5/8/32773), predictor (1/2), bps 8/16, either byte order. */
+    * (1/5/8/32773), predictor (1/2), bps 8/16, either byte order —
+    * independent of GeoTiff.write. */
   def buildTiff(samples: Array[Int], width: Int, height: Int, spp: Int,
                 bps: Int, compression: Int, predictor: Int = 1,
                 tile: Option[(Int, Int)] = None, rowsPerStrip: Int = 0,
@@ -154,6 +155,10 @@ class GeoTiffCodecSpec extends AnyFunSuite {
 
   def samplePattern(w: Int, h: Int, spp: Int, max: Int): Array[Int] =
     Array.tabulate(w * h * spp) { i => (i * 31 + (i / spp) * 7) % max }
+}
+
+class GeoTiffCodecSpec extends AnyFunSuite {
+  import TiffFixtures._
 
   def checkFull(bytes: Array[Byte], w: Int, h: Int, spp: Int, expect: Array[Int]): Unit = {
     val info = GeoTiff.parse(bytes)
