@@ -102,6 +102,18 @@ class PlanSpec extends SparkSpec {
       s"explode should be post-aggregation:\n$p")
   }
 
+  test("LSH star-edge extraction plans as agg + equi-join, never all-pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val sigs = (0 until 60).flatMap(i => (0 until 4).map(j =>
+      (i.toLong, j, (i % 5).toLong * 7 + j))).toDF("id", "j", "mh")
+    val df = graft.ops.Dedup.lshComponentEdges(sigs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("cell encode compiles to pure built-in expressions (no UDF in plan)") {
     val pts = WebPages.features(WebPages.pages(spark, 10, 1))
     val df = pts.select(CellIndex.Unit20.encodeCol(col("x"), col("y"), 10))
