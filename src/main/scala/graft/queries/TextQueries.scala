@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.io.WebPages
 import graft.ops.{Dedup, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline text operators (builder brief): token counting,
@@ -121,6 +121,38 @@ object TextQueries {
         .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
         .withColumn("is_keeper", col("component") === col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // URL canonicalization + registered-domain extraction (crawl group
+    // key): messy URLs are synthesized deterministically from doc_id —
+    // case-shuffled schemes/hosts, default and explicit ports, trailing
+    // host dots, empty paths, unsorted query params, utm_* noise,
+    // fragments — and both engines canonicalize with their own native
+    // string/list functions (full algorithmic cross-engine oracle)
+    "q49_url_canon" -> ((s, dir) => {
+      val id = col("doc_id")
+      def str(c: Column) = c.cast("string")
+      val url = concat(
+        when(id % 4 === 0, "http").when(id % 4 === 1, "HTTP")
+          .when(id % 4 === 2, "https").otherwise("HTTPS"),
+        lit("://WWW.Site"), str(id % 7),
+        when(id % 3 === 0, ".CO.UK").otherwise(".COM"),
+        when(id % 5 === 0, ".").otherwise(""),
+        when(id % 6 === 0, ":80").when(id % 6 === 1, ":443")
+          .when(id % 6 === 2, ":8080").otherwise(""),
+        when(id % 9 === 0, "").otherwise(concat(lit("/A/b"), str(id % 11))),
+        when(id % 4 === 0, concat(lit("?b="), str(id % 13), lit("&a=1&utm_source=x")))
+          .when(id % 4 === 1, concat(lit("?a=1&b="), str(id % 13)))
+          .when(id % 4 === 2, "?utm_campaign=z").otherwise(""),
+        when(id % 2 === 0, "#Frag").otherwise(""))
+      val h = graft.ops.Urls.host(col("url"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          graft.ops.Urls.canonicalize(col("url")).as("canon_url"),
+          h.as("host"),
+          graft.ops.Urls.registeredDomain(h).as("domain"))
         .orderBy("doc_id")
     }),
 
@@ -266,6 +298,49 @@ object TextQueries {
            coalesce(c.component, d.doc_id) = d.doc_id AS is_keeper
          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          ORDER BY d.doc_id""",
+    "q49_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+           CASE doc_id%4 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP'
+                WHEN 2 THEN 'https' ELSE 'HTTPS' END ||
+           '://WWW.Site' || (doc_id%7)::VARCHAR ||
+           CASE WHEN doc_id%3=0 THEN '.CO.UK' ELSE '.COM' END ||
+           CASE WHEN doc_id%5=0 THEN '.' ELSE '' END ||
+           CASE doc_id%6 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                WHEN 2 THEN ':8080' ELSE '' END ||
+           CASE WHEN doc_id%9=0 THEN '' ELSE '/A/b' || (doc_id%11)::VARCHAR END ||
+           CASE doc_id%4 WHEN 0 THEN '?b=' || (doc_id%13)::VARCHAR || '&a=1&utm_source=x'
+                WHEN 1 THEN '?a=1&b=' || (doc_id%13)::VARCHAR
+                WHEN 2 THEN '?utm_campaign=z' ELSE '' END ||
+           CASE WHEN doc_id%2=0 THEN '#Frag' ELSE '' END AS url
+           FROM documents),
+         p AS (SELECT doc_id,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+           regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+             '#.*$', '') AS rest FROM u),
+         a AS (SELECT *, regexp_extract(rest, '^([^/?#]*)', 1) AS auth FROM p),
+         h AS (SELECT *,
+           regexp_replace(regexp_replace(lower(auth), ':[0-9]*$', ''), '\.$', '') AS hst,
+           regexp_extract(auth, ':([0-9]+)$', 1) AS prt,
+           substr(rest, length(auth) + 1) AS pathq FROM a),
+         c AS (SELECT *,
+           CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+                ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS pth,
+           list_sort(list_filter(string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+             x -> x <> '' AND x NOT LIKE 'utm_%')) AS params,
+           prt <> '' AND NOT ((sch='http' AND prt='80') OR (sch='https' AND prt='443'))
+             AS keep_port,
+           string_split(hst, '.') AS labels FROM h)
+         SELECT doc_id,
+           sch || '://' || hst ||
+             CASE WHEN keep_port THEN ':' || prt ELSE '' END || pth ||
+             CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+                  ELSE '' END AS canon_url,
+           hst AS host,
+           CASE WHEN len(labels) <= 2 THEN hst
+                WHEN labels[-2] IN ('co','com','org','net','ac','gov','edu')
+                THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                ELSE labels[-2] || '.' || labels[-1] END AS domain
+         FROM c ORDER BY doc_id""",
     "q29_extract_text" -> {
       val words = WebPages.Words.map(w => s"'$w'").mkString("[", ",", "]")
       val langs = WebPages.Langs.map(w => s"'$w'").mkString("[", ",", "]")
