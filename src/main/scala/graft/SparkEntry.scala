@@ -30,11 +30,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GeoQueries.queries ++ TextQueries.queries ++
-      SimilarityQueries.queries ++ GeomQueries.queries ++ EventQueries.queries
+      SimilarityQueries.queries ++ GeomQueries.queries ++ EventQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ GeoQueries.oracleSql ++ TextQueries.oracleSql ++
-      SimilarityQueries.oracleSql ++ GeomQueries.oracleSql ++ EventQueries.oracleSql
+      SimilarityQueries.oracleSql ++ GeomQueries.oracleSql ++ EventQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 }

@@ -11,15 +11,16 @@ import org.apache.spark.sql.types._
   * batch shape: one task processes an iterator of rows, vectorizable
   * libraries plug in per partition).
   *
-  * The IMAGE modality decodes for real (JDK javax.imageio PNG/JPEG:
-  * [[JdkImage]] decode / resample / channel stats), and so does AUDIO
-  * ([[Wav]]: hand-rolled RIFF/WAVE PCM16 decode / encode / downsample /
-  * rms-peak stats — no external codec needed for the dominant
-  * uncompressed format). Only VIDEO keeps a clearly-marked deterministic
-  * fake (`FakeCodec`, fixed-layout header — no video codec exists in this
-  * container); everything around it — schema, partitioning, batch
-  * iteration, metadata propagation — is real and tested; swapping
-  * `FakeCodec` for javacv/ffmpeg is a one-function change.
+  * ALL THREE modalities decode for real: IMAGE via the JDK's javax.imageio
+  * ([[JdkImage]] decode / resample / channel stats), AUDIO via a
+  * hand-rolled RIFF/WAVE PCM16 codec ([[Wav]]: decode / encode /
+  * downsample / rms-peak stats), and VIDEO via a hand-rolled animated-GIF
+  * codec ([[Gif]]: GIF-variant LZW, frame delays, disposal, interlace,
+  * frame rendering) — animated GIF being the one video container a web
+  * crawl is full of that needs no external bitstream codec. `FakeCodec`
+  * remains only as the documented stand-in for true bitstream video
+  * (H.264/VP9 — no such codec ships in this container); swapping it for
+  * javacv/ffmpeg is a one-function change.
   */
 object Multimodal {
 
@@ -123,19 +124,42 @@ object Multimodal {
     }.toDF("media_id", "kind", "payload")
   }
 
-  /** Deterministic synthetic media table with REAL PNG image payloads
-    * (video payloads keep the fake-codec layout — no video codec here). */
+  /** Deterministic synthetic media table with REAL payloads for BOTH
+    * modalities: PNG stills and animated-GIF video clips ([[Gif]]). */
   def syntheticMediaPng(spark: org.apache.spark.sql.SparkSession, n: Long,
                         parts: Int = 8): DataFrame = {
     import spark.implicits._
     spark.range(0, n, 1, parts).map { id =>
       val w = 16 + (id % 8).toInt * 4
       val h = 12 + (id % 5).toInt * 4
-      if (id % 3 == 0) {
-        val body = Array.tabulate((id % 50).toInt + 10)(i => ((id * 31 + i) % 256).toByte)
-        (id, "video", FakeCodec.encode(w, h, 1 + (id % 4).toInt, body))
-      } else (id, "image", JdkImage.syntheticPng(id, w, h))
+      if (id % 3 == 0) (id, "video", syntheticGif(id, w, h))
+      else (id, "image", JdkImage.syntheticPng(id, w, h))
     }.toDF("media_id", "kind", "payload")
+  }
+
+  /** Deterministic animated GIF: 2-5 frames of a block sweeping across a
+    * striped background, 8-color palette derived from the id. */
+  def syntheticGif(id: Long, w: Int, h: Int): Array[Byte] = {
+    val palette = Array.tabulate(8) { i =>
+      val v = ((id * 37 + i * 29) % 256).toInt
+      (v << 16) | (((v * 3) % 256) << 8) | ((v * 7) % 256)
+    }
+    val nFrames = 2 + (id % 4).toInt
+    val frames = (0 until nFrames).map { f =>
+      val px = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val block = x >= (f * w / nFrames) && x < ((f + 1) * w / nFrames)
+          px(y * w + x) = (if (block) 7 else (x + y + f) % 4).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (px, 2 + (id % 10).toInt) // per-frame delay in centiseconds
+    }
+    Gif.encode(w, h, palette, frames, interlace = id % 5 == 0)
   }
 
   /** REAL audio codec: RIFF/WAVE PCM16 little-endian (the dominant
@@ -247,8 +271,10 @@ object Multimodal {
     }
   }
 
-  /** DECODE stage with the real image codec: PNG/JPEG payloads decode via
-    * ImageIO (frames = 1); video payloads go through the documented fake. */
+  /** DECODE stage with real codecs on every modality: stills via ImageIO
+    * (frames = 1), video via the hand-rolled animated-GIF decoder
+    * ([[Gif]], frames = real frame count); non-GIF video payloads fall
+    * back to the documented fake (true bitstream codecs don't ship here). */
   def decodeMetaReal(media: DataFrame): DataFrame = {
     val schema = StructType(media.schema.fields :+ StructField("meta", StructType(Seq(
       StructField("width", IntegerType), StructField("height", IntegerType),
@@ -263,11 +289,61 @@ object Multimodal {
           case "image" =>
             val img = JdkImage.decode(payload)
             Row(img.getWidth, img.getHeight, 1)
+          case _ if Gif.isGif(payload) =>
+            val g = Gif.decode(payload)
+            Row(g.width, g.height, g.frames.length)
           case _ =>
             val (w, h, f) = FakeCodec.decodeDims(payload)
             Row(w, h, f)
         }
         Row.fromSeq(r.toSeq :+ meta)
+      }
+    }
+  }
+
+  /** FRAME-EXTRACT stage with a real video decoder: every `everyK`-th
+    * frame of each GIF video row → one output row with the frame's
+    * centisecond timestamp, mean R/G/B, and the frame re-encoded as PNG
+    * (the training-pipeline "frame sample → still" path). Image rows pass
+    * through as frame 0 of their own payload. */
+  def extractFrames(media: DataFrame, everyK: Int): DataFrame = {
+    require(everyK >= 1, "everyK must be >= 1")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("kind", StringType),
+      StructField("frame_idx", IntegerType), StructField("t_cs", IntegerType),
+      StructField("rgb_mean", ArrayType(DoubleType)),
+      StructField("frame_png", BinaryType)))
+    val pIdx = media.schema.fieldIndex("payload")
+    val kIdx = media.schema.fieldIndex("kind")
+    val iIdx = media.schema.fieldIndex("media_id")
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(iIdx)
+        val payload = r.getAs[Array[Byte]](pIdx)
+        r.getString(kIdx) match {
+          case "video" if Gif.isGif(payload) =>
+            val g = Gif.decode(payload)
+            val rgb = Gif.renderRgbFrames(g)
+            val starts = g.frames.scanLeft(0)((t, f) => t + f.delayCs)
+            (0 until g.frames.length by everyK).map { fi =>
+              val px = rgb(fi)
+              val img = new java.awt.image.BufferedImage(g.width, g.height,
+                java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+              img.setRGB(0, 0, g.width, g.height, px, 0, g.width)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              px.foreach { p =>
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              }
+              val n = px.length.toDouble
+              Row(id, "video", fi, starts(fi),
+                Seq(sr / n, sg / n, sb / n), JdkImage.encodePng(img))
+            }
+          case "image" =>
+            Seq(Row(id, "image", 0, 0,
+              JdkImage.channelMeans(payload).toSeq, payload))
+          case _ => Seq.empty[Row]
+        }
       }
     }
   }
