@@ -83,7 +83,15 @@ object OverlayUnion {
   }
 
   /** One group's sequential fold (reference row loop at
-    * coco2geojson.py:68-93). */
+    * coco2geojson.py:68-93). Pieces whose envelope misses the incoming
+    * polygon contribute no intersection row and pass through the
+    * difference unchanged — semantics-identical, and it keeps the
+    * quadratic JTS work confined to pieces that actually touch p (on
+    * mostly-local inputs the scan is O(pieces) envelope checks per row).
+    * The p−∪R remainder is peeled piece-by-piece (difference association
+    * instead of union-then-difference — equal on valid inputs; exact
+    * float parity of this deprecated path is pinned by the
+    * integer-coordinate q48 fixture). */
   private[ops] def foldGroup(
       group: Seq[(Array[Byte], Boolean)],
       keepGeomType: Boolean): Vector[Geometry] = {
@@ -92,10 +100,20 @@ object OverlayUnion {
       val p = JtsGeo.fromWkb(wkb)
       if (r.isEmpty) r = Vector(p) // reference i == 0: copied regardless
       else if (marginal) {
-        val inter = r.map(g => keep(g.intersection(p), keepGeomType))
-        val diff1 = r.map(g => keep(g.difference(p), keepGeomType))
-        val diff2 = keep(p.difference(JtsGeo.unionAll(r)), keepGeomType)
-        r = (inter ++ diff1 ++ Vector(diff2)).filter(g => g != null && !g.isEmpty)
+        val pEnv = p.getEnvelopeInternal
+        val inter = Vector.newBuilder[Geometry]
+        val diff1 = Vector.newBuilder[Geometry]
+        var rest: Geometry = p
+        r.foreach { g =>
+          if (g.getEnvelopeInternal.intersects(pEnv)) {
+            inter += keep(g.intersection(p), keepGeomType)
+            diff1 += keep(g.difference(p), keepGeomType)
+            if (!rest.isEmpty) rest = rest.difference(g)
+          } else diff1 += g // disjoint: g ∩ p = ∅, g − p = g
+        }
+        val diff2 = keep(rest, keepGeomType)
+        r = (inter.result() ++ diff1.result() ++ Vector(diff2))
+          .filter(g => g != null && !g.isEmpty)
       } else r = r :+ p
     }
     r

@@ -156,6 +156,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // WARC container round trip (ISO 28500, the format Common Crawl
+    // ships): deterministic .warc / .warc.gz payloads built row-side,
+    // parsed per-partition by the hand-rolled codec; every header field
+    // and body length is closed-form in (file id, record seq)
+    "q51_warc" -> ((s, _) => {
+      import s.implicits._
+      val files = s.range(0, 300, 1, 8).map { id =>
+        val recs = (0 until (1 + (id % 3)).toInt).map { seq =>
+          val bodyLen = 10 + ((id * 7 + seq) % 23).toInt
+          graft.io.Warc.WarcRecord(
+            if (seq % 2 == 0) "response" else "request",
+            s"https://example.org/p/${id * 10 + seq}",
+            java.time.Instant.ofEpochSecond(1700000000L + id % 2592000L).toString,
+            s"<urn:uuid:$id-$seq>",
+            "application/http", Array.fill(bodyLen)('w'.toByte))
+        }
+        // even ids: one gzip member per record; odd ids: plain
+        (id.toString,
+          if (id % 2 == 0) graft.io.Warc.writeGz(recs) else graft.io.Warc.write(recs))
+      }.toDF("path", "content")
+      graft.io.Warc.records(files)
+        .select(col("path").cast("long").as("file_id"), col("rec_seq"),
+          col("warc_type"), col("url"),
+          to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX")
+            .cast("long").as("ts_epoch"),
+          length(col("body")).as("body_len"))
+        .orderBy("file_id", "rec_seq")
+    }),
+
     // P20 / input_hint invariant: byte-identical extracted text per url,
     // over the synthetic web-page table (UDF-free decode + regexp chain)
     "q29_extract_text" -> ((s, dir) => {
@@ -341,6 +370,15 @@ object TextQueries {
                 THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
                 ELSE labels[-2] || '.' || labels[-1] END AS domain
          FROM c ORDER BY doc_id""",
+    "q51_warc" ->
+      """WITH f AS (SELECT range AS id FROM range(300)),
+         r AS (SELECT id, unnest(range(0, 1 + id % 3)) AS seq FROM f)
+         SELECT id AS file_id, CAST(seq AS INTEGER) AS rec_seq,
+           CASE WHEN seq % 2 = 0 THEN 'response' ELSE 'request' END AS warc_type,
+           'https://example.org/p/' || (id*10 + seq)::VARCHAR AS url,
+           1700000000 + id % 2592000 AS ts_epoch,
+           CAST(10 + (id*7 + seq) % 23 AS INTEGER) AS body_len
+         FROM r ORDER BY file_id, rec_seq""",
     "q29_extract_text" -> {
       val words = WebPages.Words.map(w => s"'$w'").mkString("[", ",", "]")
       val langs = WebPages.Langs.map(w => s"'$w'").mkString("[", ",", "]")
