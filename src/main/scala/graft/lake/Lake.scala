@@ -147,3 +147,23 @@ final class Lake(val root: String, spark: SparkSession) {
     }
   }
 }
+
+object Lake {
+  /** Catalog-registered bucketed+sorted layout — the co-located-join story
+    * for the fact tables at 100 TB: two tables bucketed the same way on the
+    * join key sort-merge-join with NO shuffle exchange and NO sort on
+    * either side (Spark reads its own bucket metadata; assert via
+    * BucketedJoinSpec). Bucketing lives in the session catalog rather than
+    * the snapshot layer because Spark only recognizes bucket files through
+    * `saveAsTable` metadata — outside the sandbox an Iceberg catalog
+    * supplies the same property through its bucket partition transform. */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+                    key: String, sortCols: Seq[String] = Seq.empty): Unit = {
+    val sorted = if (sortCols.isEmpty) Seq(key) else sortCols
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key)
+      .sortBy(sorted.head, sorted.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+}
