@@ -23,6 +23,30 @@ object MultimodalQueries {
         .filter(col("kind") === "video")
         .select(col("media_id"), col("frame_idx"), col("t_cs"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // real audio modality: PCM16 WAV payloads built row-side, decoded by
+    // the hand-rolled RIFF codec; the gate sticks to integer aggregates
+    // (sample count, peak |v|, Σv²) so the oracle is value-exact
+    "q52_audio" -> ((s, _) => {
+      import s.implicits._
+      s.range(0, N, 1, 8).map { id =>
+        val n = (100 + id % 50).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 31 + i * 17) % 4001) - 2000).toShort)
+        (id, Multimodal.Wav.encode(8000, 1, samples))
+      }.toDF("media_id", "payload")
+        .map { r =>
+          val (rate, ch, samples) = Multimodal.Wav.decode(r.getAs[Array[Byte]](1))
+          var peak = 0L; var sumSq = 0L
+          samples.foreach { v =>
+            val a = math.abs(v.toLong); if (a > peak) peak = a
+            sumSq += v.toLong * v.toLong
+          }
+          (r.getLong(0), rate, ch, samples.length, peak, sumSq)
+        }
+        .toDF("media_id", "sample_rate", "channels", "n_samples", "peak_abs", "sum_sq")
+        .orderBy("media_id")
     })
   )
 
@@ -32,6 +56,14 @@ object MultimodalQueries {
          f AS (SELECT id, unnest(range(0, 2 + id % 4, 2)) AS fi FROM v)
          SELECT id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
            CAST(fi * (2 + id % 10) AS INTEGER) AS t_cs
-         FROM f ORDER BY media_id, frame_idx"""
+         FROM f ORDER BY media_id, frame_idx""",
+    "q52_audio" ->
+      s"""WITH m AS (SELECT range AS id FROM range($N)),
+         s AS (SELECT id, unnest(range(0, 100 + id % 50)) AS i FROM m),
+         v AS (SELECT id, (id*31 + i*17) % 4001 - 2000 AS val FROM s)
+         SELECT id AS media_id, 8000 AS sample_rate, 1 AS channels,
+           CAST(count(*) AS INTEGER) AS n_samples,
+           max(abs(val)) AS peak_abs, CAST(sum(val*val) AS BIGINT) AS sum_sq
+         FROM v GROUP BY id ORDER BY media_id"""
   )
 }

@@ -120,4 +120,24 @@ class PlanSpec extends SparkSpec {
     val analyzed = df.queryExecution.analyzed.toString
     assert(!analyzed.toLowerCase.contains("udf"), analyzed)
   }
+
+  test("URL canonicalization is a UDF-free single projection (no exchange)") {
+    val df = WebPages.pages(spark, 10, 1).select(
+      graft.ops.Urls.canonicalize(col("url")),
+      graft.ops.Urls.registeredDomain(graft.ops.Urls.host(col("url"))))
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.toLowerCase.contains("udf"), analyzed)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("WARC record parse is per-partition (no exchange below the scan)") {
+    import spark.implicits._
+    val files = Seq(("f0", graft.io.Warc.write(Seq(graft.io.Warc.WarcRecord(
+      "response", "https://e.org/0", "2023-11-14T22:13:20Z", "<urn:uuid:0>",
+      "application/http", "x".getBytes)))))
+      .toDF("path", "content")
+    val p = plan(graft.io.Warc.records(files))
+    assert(!p.contains("Exchange"), p)
+  }
 }
