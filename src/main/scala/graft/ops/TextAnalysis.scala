@@ -107,4 +107,27 @@ object TextAnalysis {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
         coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
   }
+
+  /** CCNet-style corpus-frequency rarity signal, kept integer-exact: per
+    * doc the bigram count, the sum of each bigram's corpus occurrence
+    * count (high = boilerplate-heavy), and the rarest bigram's corpus
+    * count (1 = contains a corpus-unique bigram — the gibberish/novelty
+    * flag). Shapes: linear explode → corpus hash-agg → equi-join back →
+    * per-doc hash-agg; the bigram table is the only shuffled relation and
+    * is corpus-bounded, never quadratic. */
+  def bigramRarity(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val bg = base.select(col("id"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => array_join(slice(col("toks"), i + 1, lit(2)), " ")))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+    val cf = bg.groupBy("bigram").agg(count(lit(1)).as("cf"))
+    bg.join(cf, "bigram")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("cf").as("sum_cf"),
+        min("cf").as("min_cf"))
+  }
 }

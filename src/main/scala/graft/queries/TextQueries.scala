@@ -156,6 +156,32 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus bigram-frequency rarity (CCNet-style quality signal), kept
+    // integer-exact: n_bigrams, Σ corpus-count, rarest-bigram count
+    "q53_bigram_rarity" -> ((s, dir) => {
+      TextAnalysis.bigramRarity(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // host-graph link analysis over canonicalized registered domains:
+    // degree + reciprocity stats. The link table is formula-synthesized
+    // messy URLs; the oracle computes the expected domains directly from
+    // the grid, so a drift anywhere in host parsing / domain extraction /
+    // the graph aggregation breaks the gate
+    "q54_link_graph" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("k", explode(array(lit(0L), lit(1L))))
+      val dd = col("doc_id") * 7 + col("k") * 97
+      val src = concat(lit("https://WWW.Site"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 3 === 0, ".CO.UK").otherwise(".COM"), lit("/p"))
+      val dst = concat(lit("http://Site"), (dd % 7).cast("string"),
+        when(dd % 3 === 0, ".CO.UK").otherwise(".COM"), lit("/x"))
+      val edges = graft.ops.LinkGraph.domainEdges(
+        d.select(src.as("su"), dst.as("du")), "su", "du")
+      graft.ops.LinkGraph.domainStats(edges).orderBy("domain")
+    }),
+
     // WARC container round trip (ISO 28500, the format Common Crawl
     // ships): deterministic .warc / .warc.gz payloads built row-side,
     // parsed per-partition by the hand-rolled codec; every header field
@@ -370,6 +396,42 @@ object TextQueries {
                 THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
                 ELSE labels[-2] || '.' || labels[-1] END AS domain
          FROM c ORDER BY doc_id""",
+    "q53_bigram_rarity" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         ix AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+         bg AS (SELECT doc_id,
+             t[CAST(i AS INTEGER)] || ' ' || t[CAST(i + 1 AS INTEGER)] AS bigram
+           FROM ix),
+         cf AS (SELECT bigram, count(*) AS cf FROM bg GROUP BY bigram)
+         SELECT bg.doc_id, count(*) AS n_bigrams,
+           CAST(sum(cf.cf) AS BIGINT) AS sum_cf,
+           CAST(min(cf.cf) AS BIGINT) AS min_cf
+         FROM bg JOIN cf USING (bigram)
+         GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    "q54_link_graph" ->
+      """WITH d0 AS (SELECT doc_id, unnest([0, 1]) AS k FROM documents),
+         e0 AS (SELECT
+             'site' || (doc_id%7)::VARCHAR ||
+               CASE WHEN doc_id%3=0 THEN '.co.uk' ELSE '.com' END AS src,
+             'site' || ((doc_id*7 + k*97)%7)::VARCHAR ||
+               CASE WHEN (doc_id*7 + k*97)%3=0 THEN '.co.uk' ELSE '.com' END AS dst
+           FROM d0),
+         e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+         de AS (SELECT DISTINCT src, dst FROM e),
+         recip AS (SELECT de.src, count(*) AS recip_out FROM de
+           WHERE EXISTS (SELECT 1 FROM de r WHERE r.src = de.dst AND r.dst = de.src)
+           GROUP BY de.src),
+         o AS (SELECT src, count(*) AS out_edges,
+               count(DISTINCT dst) AS out_domains FROM e GROUP BY src),
+         i AS (SELECT dst AS src, count(*) AS in_edges FROM e GROUP BY dst)
+         SELECT COALESCE(o.src, i.src) AS domain,
+           CAST(COALESCE(out_edges, 0) AS BIGINT) AS out_edges,
+           CAST(COALESCE(out_domains, 0) AS BIGINT) AS out_domains,
+           CAST(COALESCE(in_edges, 0) AS BIGINT) AS in_edges,
+           CAST(COALESCE(recip_out, 0) AS BIGINT) AS recip_out
+         FROM o FULL JOIN i ON o.src = i.src
+         LEFT JOIN recip ON COALESCE(o.src, i.src) = recip.src
+         ORDER BY domain""",
     "q51_warc" ->
       """WITH f AS (SELECT range AS id FROM range(300)),
          r AS (SELECT id, unnest(range(0, 1 + id % 3)) AS seq FROM f)
