@@ -35,7 +35,9 @@ object GeoTiff {
       /** 0 = strip layout; > 0 = tiled layout, stripOffsets/stripByteCounts
         * then hold the tile offsets/counts in row-major tile order. */
       tileWidth: Int = 0, tileLength: Int = 0,
-      littleEndian: Boolean = true) {
+      littleEndian: Boolean = true,
+      /** TIFF SampleFormat (tag 339): 1 = unsigned int, 3 = IEEE float. */
+      sampleFormat: Int = 1) {
     def toMeta(rasterId: String): RasterMeta =
       RasterMeta(rasterId, width, height, a, b, c, d, e, f, crs)
     def tiled: Boolean = tileWidth > 0
@@ -98,12 +100,18 @@ object GeoTiff {
       s"unsupported TIFF compression $compression (have: none, LZW, Deflate, PackBits)")
     val spp = firstValue(277, 1L).toInt
     val bps = entries.get(258).map(values(_).head.toInt).getOrElse(8)
-    require(bps == 8 || bps == 16, s"only 8/16-bit samples supported (bps=$bps)")
+    val sfmt = firstValue(339, 1L).toInt
+    require(bps == 8 || bps == 16 || bps == 32,
+      s"only 8/16/32-bit samples supported (bps=$bps)")
+    require(bps != 32 || sfmt == 3,
+      s"32-bit samples supported as IEEE float (SampleFormat=3) only, got $sfmt")
     val planar = firstValue(284, 1L)
     require(planar == 1L, "only chunky planar configuration supported")
     val predictor = firstValue(317, 1L).toInt
     require(predictor == 1 || predictor == 2,
       s"unsupported predictor $predictor (have: none, horizontal differencing)")
+    require(predictor == 1 || bps <= 16,
+      "horizontal-differencing predictor not supported for float samples")
     val tileW = firstValue(322, 0L).toInt
     val tileL = firstValue(323, 0L).toInt
     val rps = firstValue(278, height.toLong).toInt
@@ -135,7 +143,8 @@ object GeoTiff {
 
     TiffInfo(width, height, spp, bps, rps, chunkOffsets,
       chunkCounts, ta, tb, tc, td, te, tf, crs,
-      compression, predictor, tileW, tileL, order == ByteOrder.LITTLE_ENDIAN)
+      compression, predictor, tileW, tileL, order == ByteOrder.LITTLE_ENDIAN,
+      sfmt)
   }
 
   // ---------- compression codecs (TIFF 6.0 §7-9; GDAL writes these) ----------
@@ -453,20 +462,41 @@ object GeoTiff {
     out
   }
 
-  /** [[readWindow]] with 16-bit samples normalized to LITTLE-ENDIAN byte
-    * order — the raw-byte form [[write]] accepts regardless of the source
-    * raster's byte order (identity for 8-bit and LE sources). */
+  /** [[readWindow]] with multi-byte samples normalized to LITTLE-ENDIAN
+    * byte order — the raw-byte form [[write]] accepts regardless of the
+    * source raster's byte order (identity for 8-bit and LE sources). */
   def readWindowLE(bytes: Array[Byte], info: TiffInfo,
                    colOff: Int, rowOff: Int, w: Int, h: Int): Array[Byte] = {
     val raw = readWindow(bytes, info, colOff, rowOff, w, h)
-    if (info.bytesPerSample == 2 && !info.littleEndian) {
+    if (!info.littleEndian && info.bytesPerSample > 1) {
+      val bp = info.bytesPerSample
       var i = 0
       while (i < raw.length) {
-        val t = raw(i); raw(i) = raw(i + 1); raw(i + 1) = t
-        i += 2
+        var a = 0; var b = bp - 1
+        while (a < b) {
+          val t = raw(i + a); raw(i + a) = raw(i + b); raw(i + b) = t
+          a += 1; b -= 1
+        }
+        i += bp
       }
     }
     raw
+  }
+
+  /** Window read decoded to Float samples (chunky order) — the typed
+    * accessor for float32 DEM/NDVI rasters (SampleFormat=3), either byte
+    * order. */
+  def readWindowFloats(bytes: Array[Byte], info: TiffInfo,
+                       colOff: Int, rowOff: Int, w: Int, h: Int): Array[Float] = {
+    require(info.bitsPerSample == 32 && info.sampleFormat == 3,
+      "readWindowFloats requires float32 samples")
+    val raw = readWindow(bytes, info, colOff, rowOff, w, h)
+    val buf = ByteBuffer.wrap(raw).order(
+      if (info.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val out = new Array[Float](raw.length / 4)
+    var i = 0
+    while (i < out.length) { out(i) = buf.getFloat(i * 4); i += 1 }
+    out
   }
 
   /** Single-strip GeoTIFF with affine tags. `pixels` is chunky (w·h·bands
@@ -475,9 +505,12 @@ object GeoTiff {
     * rasters; both round-trip through [[parse]]/[[readWindow]]. */
   def write(width: Int, height: Int, bands: Int, pixels: Array[Byte],
             a: Double, bAff: Double, c: Double, d: Double, e: Double, f: Double,
-            compression: Int = 1, bitsPerSample: Int = 8): Array[Byte] = {
-    require(bitsPerSample == 8 || bitsPerSample == 16,
-      s"write supports 8/16-bit samples (got $bitsPerSample)")
+            compression: Int = 1, bitsPerSample: Int = 8,
+            sampleFormat: Int = 1): Array[Byte] = {
+    require(bitsPerSample == 8 || bitsPerSample == 16 || bitsPerSample == 32,
+      s"write supports 8/16/32-bit samples (got $bitsPerSample)")
+    require((bitsPerSample == 32) == (sampleFormat == 3),
+      "32-bit write is IEEE float (SampleFormat=3); 8/16-bit is unsigned int")
     // 16-bit pixels must arrive LITTLE-ENDIAN (the writer's byte order);
     // readWindowLE normalizes windows cut from big-endian sources
     require(pixels.length == width * height * bands * (bitsPerSample / 8))
@@ -514,7 +547,9 @@ object GeoTiff {
       (277, 3, 1, bands.toLong),
       (278, 4, 1, height.toLong),
       (279, 4, 1, strip.length.toLong),
-      (284, 3, 1, 1L),
+      (284, 3, 1, 1L)) ++
+      (if (sampleFormat != 1) Seq((339, 3, 1L, sampleFormat.toLong)) else Nil) ++
+      Seq[(Int, Int, Long, Long)](
       (33550, 12, 3, scaleOff.toLong),
       (33922, 12, 6, tieOff.toLong))
     val total = ifdOff + 2 + tags.length * 12 + 4
@@ -540,6 +575,19 @@ object GeoTiff {
     }
     buf.putInt(ifdOff + 2 + tags.length * 12, 0) // no next IFD
     buf.array()
+  }
+
+  /** Float32 GeoTIFF write (SampleFormat=3) from typed samples — the
+    * DEM/NDVI output arm; samples are chunky row-major like [[write]]. */
+  def writeFloat(width: Int, height: Int, bands: Int, samples: Array[Float],
+                 a: Double, bAff: Double, c: Double, d: Double, e: Double,
+                 f: Double, compression: Int = 1): Array[Byte] = {
+    val raw = new Array[Byte](samples.length * 4)
+    val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < samples.length) { buf.putFloat(i * 4, samples(i)); i += 1 }
+    write(width, height, bands, raw, a, bAff, c, d, e, f,
+      compression, bitsPerSample = 32, sampleFormat = 3)
   }
 
   /** PNG sidecar (coco.py:140-169): keep the first `bands` bands; when

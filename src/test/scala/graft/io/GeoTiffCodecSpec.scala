@@ -32,6 +32,12 @@ object TiffFixtures {
         val v = if (sr < height && sc < width) samples((sr * width + sc) * spp + b) else 0
         val o = ((r * cw + c) * spp + b) * bytesPS
         if (bytesPS == 1) buf(o) = v.toByte
+        else if (bytesPS == 4) { // float32: v carries the IEEE bit pattern
+          if (littleEndian) { buf(o) = v.toByte; buf(o + 1) = (v >> 8).toByte
+            buf(o + 2) = (v >> 16).toByte; buf(o + 3) = (v >> 24).toByte }
+          else { buf(o) = (v >> 24).toByte; buf(o + 1) = (v >> 16).toByte
+            buf(o + 2) = (v >> 8).toByte; buf(o + 3) = v.toByte }
+        }
         else if (littleEndian) { buf(o) = v.toByte; buf(o + 1) = (v >> 8).toByte }
         else { buf(o) = (v >> 8).toByte; buf(o + 1) = v.toByte }
       }
@@ -89,6 +95,7 @@ object TiffFixtures {
     val bpsExternal = spp > 2
     val arraysExternal = chunks.length > 1
     val tagIds = Seq(256, 257, 258, 259, 262, 277, 284, offId, cntId) ++
+      (if (bps == 32) Seq(339) else Nil) ++
       (if (predictor != 1) Seq(317) else Nil) ++
       (tile match { case Some(_) => Seq(322, 323); case None => Seq(278) })
     val n = tagIds.length
@@ -116,6 +123,7 @@ object TiffFixtures {
       case 278 => (278, 4, 1, rps.toLong)
       case 284 => (284, 3, 1, 1L)
       case 317 => (317, 3, 1, predictor.toLong)
+      case 339 => (339, 3, 1, 3L) // IEEE float
       case 322 => (322, 4, 1, tile.get._1.toLong)
       case 323 => (323, 4, 1, tile.get._2.toLong)
       case `offId` =>
@@ -259,6 +267,50 @@ class GeoTiffCodecSpec extends AnyFunSuite {
       assert(info.compression == comp)
       assert(GeoTiff.readWindow(t, info, 0, 0, w, h).toSeq == px.toSeq)
       assert((info.a, info.c, info.e, info.f) == ((2.0, 100.0, -2.0, 500.0)))
+    }
+  }
+
+  test("float32 samples decode in both byte orders (strip + tiled deflate)") {
+    val (w, h) = (10, 7)
+    val vals = Array.tabulate(w * h)(i => 0.25f * i - 3.5f)
+    val bits = vals.map(java.lang.Float.floatToIntBits)
+    for (le <- Seq(true, false);
+         tile <- Seq(None, Some((4, 4)));
+         comp <- Seq(1, 8)) {
+      val t = buildTiff(bits, w, h, 1, 32, comp, tile = tile, littleEndian = le)
+      val info = GeoTiff.parse(t)
+      assert(info.sampleFormat == 3 && info.bitsPerSample == 32)
+      val got = GeoTiff.readWindowFloats(t, info, 0, 0, w, h)
+      assert(got.toSeq == vals.toSeq, s"le=$le tile=$tile comp=$comp")
+      // window cut from the middle
+      val win = GeoTiff.readWindowFloats(t, info, 3, 2, 5, 4)
+      val expect = for (r <- 2 until 6; c <- 3 until 8) yield vals(r * w + c)
+      assert(win.toSeq == expect, s"window le=$le tile=$tile comp=$comp")
+      // LE normalization matches the typed accessor bit-for-bit
+      val le4 = GeoTiff.readWindowLE(t, info, 3, 2, 5, 4)
+      val bb = java.nio.ByteBuffer.wrap(le4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      assert((0 until 20).map(i => bb.getFloat(i * 4).toDouble) == expect.map(_.toDouble))
+    }
+  }
+
+  test("writeFloat round-trips float32 rasters incl. the affine tags") {
+    val (w, h) = (12, 9)
+    val vals = Array.tabulate(w * h)(i => (i * 0.125f) - 2f)
+    for (comp <- Seq(1, 5, 8)) {
+      val t = GeoTiff.writeFloat(w, h, 1, vals, 0.5, 0, 10.0, 0, -0.5, 99.0, comp)
+      val info = GeoTiff.parse(t)
+      assert(info.sampleFormat == 3 && info.compression == comp)
+      assert(GeoTiff.readWindowFloats(t, info, 0, 0, w, h).toSeq == vals.toSeq)
+      assert((info.a, info.c, info.e, info.f) == ((0.5, 10.0, -0.5, 99.0)))
+    }
+  }
+
+  test("readWindowFloats refuses non-float rasters; fixture declares SampleFormat=3") {
+    val bits = Array.tabulate(4)(i => java.lang.Float.floatToIntBits(i.toFloat))
+    assert(GeoTiff.parse(buildTiff(bits, 2, 2, 1, 32, 1)).sampleFormat == 3)
+    val int8 = buildTiff(Array.fill(4)(1), 2, 2, 1, 8, 1)
+    intercept[IllegalArgumentException] {
+      GeoTiff.readWindowFloats(int8, GeoTiff.parse(int8), 0, 0, 2, 2)
     }
   }
 }
