@@ -37,11 +37,13 @@ object RasterTiles {
         val info = GeoTiff.parse(bytes)
         Tiling.tilesFor(info.toMeta(p), tileWidth, tileHeight, mapUnits, offsetPct)
           .map { t =>
-            // LE-normalized raw window so 16-bit sources (either byte
-            // order, any compression/tiling) re-wrap into valid payloads
+            // LE-normalized raw window so 16-bit and float32 sources
+            // (either byte order, any compression/tiling) re-wrap into
+            // valid payloads of the same sample type
             val pixels = GeoTiff.readWindowLE(bytes, info, t.colOff, t.rowOff, t.width, t.height)
             val tiff = GeoTiff.write(t.width, t.height, info.samplesPerPixel, pixels,
-              t.a, t.b, t.c, t.d, t.e, t.f, bitsPerSample = info.bitsPerSample)
+              t.a, t.b, t.c, t.d, t.e, t.f, bitsPerSample = info.bitsPerSample,
+              sampleFormat = info.sampleFormat)
             (t.rasterId, t.tileName, t.colOff, t.rowOff, t.width, t.height,
               t.a, t.b, t.c, t.d, t.e, t.f, tiff)
           }
@@ -65,11 +67,23 @@ object RasterTiles {
         val tiff = r.getAs[Array[Byte]](tI)
         val info = GeoTiff.parse(tiff)
         // 16-bit payloads map to PNG via the high byte (rasterio's
-        // 8-bit-preview convention); 8-bit passes through untouched
+        // 8-bit-preview convention); float32 rescales min→0 max→255 per
+        // tile (the DEM-preview convention); 8-bit passes through
         val pixels =
           if (info.bitsPerSample == 8)
             GeoTiff.readWindow(tiff, info, 0, 0, info.width, info.height)
-          else {
+          else if (info.bitsPerSample == 32) {
+            val f = GeoTiff.readWindowFloats(tiff, info, 0, 0, info.width, info.height)
+            var lo = Float.MaxValue; var hi = Float.MinValue
+            f.foreach { v => if (v < lo) lo = v; if (v > hi) hi = v }
+            val span = if (hi > lo) hi - lo else 1f
+            val b = new Array[Byte](f.length)
+            var i = 0
+            while (i < f.length) {
+              b(i) = math.min(255, ((f(i) - lo) / span * 255f).toInt).toByte; i += 1
+            }
+            b
+          } else {
             val s = GeoTiff.readWindowSamples(tiff, info, 0, 0, info.width, info.height)
             val b = new Array[Byte](s.length)
             var i = 0

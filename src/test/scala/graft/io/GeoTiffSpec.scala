@@ -109,6 +109,35 @@ class GeoTiffSpec extends SparkSpec {
       ((s16((16 + 3) * sw + 16 + 2) >> 8) & 0xFF))
   }
 
+  test("cutTiles + pngSidecars on a float32 BIG-endian tiled deflate source") {
+    val (sw, sh) = (24, 14)
+    val vals = Array.tabulate(sw * sh)(i => i * 0.5f - 20f)
+    val bits = vals.map(java.lang.Float.floatToIntBits)
+    val src = TiffFixtures.buildTiff(bits, sw, sh, 1, 32, compression = 8,
+      tile = Some((8, 8)), littleEndian = false)
+    val tmp = java.nio.file.Files.createTempDirectory("tiff32")
+    java.nio.file.Files.write(tmp.resolve("r32.tif"), src)
+    val tiles = RasterTiles.cutTiles(spark, tmp.toString, 12, 8).collect()
+      .sortBy(r => (r.getInt(2), r.getInt(3)))
+    assert(tiles.length == 4) // 2 cols × 2 rows (last row 6 px)
+    val t = tiles.find(r => r.getInt(2) == 12 && r.getInt(3) == 8).get
+    val ti = GeoTiff.parse(t.getAs[Array[Byte]](12))
+    assert(ti.sampleFormat == 3 && ti.bitsPerSample == 32 && ti.littleEndian)
+    val got = GeoTiff.readWindowFloats(t.getAs[Array[Byte]](12), ti, 0, 0, 12, 6)
+    for (r <- 0 until 6; c <- 0 until 12)
+      assert(got(r * 12 + c) == vals((8 + r) * sw + 12 + c), s"($c,$r)")
+    // png preview: min→0, max→255 within the tile
+    val withPng = RasterTiles.pngSidecars(
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(t)),
+        RasterTiles.cutTiles(spark, tmp.toString, 12, 8).schema)).collect()(0)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(withPng.getAs[Array[Byte]](13)))
+    val tileVals = for (r <- 0 until 6; c <- 0 until 12) yield vals((8 + r) * sw + 12 + c)
+    val (lo, hi) = (tileVals.min, tileVals.max)
+    val expect = math.min(255, ((vals((8 + 3) * sw + 12 + 2) - lo) / (hi - lo) * 255f).toInt)
+    assert(img.getRaster.getSample(2, 3, 0) == expect)
+  }
+
   test("distributed cutTiles: payload windows + shifted affines + png sidecars") {
     val tmp = java.nio.file.Files.createTempDirectory("tiffs")
     java.nio.file.Files.write(tmp.resolve("r1.tif"), tiffBytes)
