@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt evaluation (public spec: RFC 9309 + the Googlebot extension
+  * set) — the admission filter every crawl-derived training pipeline runs
+  * before a URL is fetched or kept. Parsing happens per robots payload in
+  * plain Scala (one robots.txt per host — driver-free, partition-local);
+  * EVALUATION is relational: rules join URLs on host and the RFC 9309
+  * precedence — longest matching pattern wins, allow wins length ties —
+  * is one `max(struct(...))` aggregation, so admission control over 10^12
+  * URLs is a broadcast-or-shuffle join plus a hash-agg, nothing per-URL
+  * beyond a LIKE match.
+  *
+  * Pattern language: literal path prefixes with `*` wildcards and an
+  * optional `$` end anchor, compiled to SQL LIKE (`%`/`_`/`\` escaped) so
+  * the same rule rows evaluate identically in Spark and in the DuckDB
+  * oracle. */
+object Robots {
+
+  final case class Rule(pattern: String, allow: Boolean)
+
+  /** Rules of the most specific group matching `userAgent` (exact token
+    * match case-insensitively, else the `*` group), in file order.
+    * Groups follow RFC 9309: consecutive User-agent lines share the rule
+    * block that follows; comments and unknown directives are skipped;
+    * empty patterns are ignored (an empty Disallow allows everything). */
+  def parse(robotsTxt: String, userAgent: String = "*"): Seq[Rule] = {
+    final case class Group(agents: Seq[String], rules: Seq[Rule])
+    val groups = Vector.newBuilder[Group]
+    var agents = Vector.empty[String]
+    var rules = Vector.empty[Rule]
+    var inRules = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) groups += Group(agents, rules)
+      agents = Vector.empty; rules = Vector.empty; inRules = false
+    }
+    robotsTxt.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0) {
+        val key = line.substring(0, i).trim.toLowerCase
+        val value = line.substring(i + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) flush()
+            agents :+= value.toLowerCase
+          case "allow" | "disallow" =>
+            inRules = true
+            if (value.nonEmpty) rules :+= Rule(value, key == "allow")
+          case _ => inRules = true // crawl-delay, sitemap, ... end the UA run
+        }
+      }
+    }
+    flush()
+    val all = groups.result()
+    val ua = userAgent.toLowerCase
+    all.find(_.agents.exists(a => a != "*" && ua.contains(a)))
+      .orElse(all.find(_.agents.contains("*")))
+      .map(_.rules.toSeq)
+      .getOrElse(Seq.empty)
+  }
+
+  /** robots pattern → SQL LIKE pattern (`*`→`%`, trailing `$` anchors,
+    * otherwise an implicit trailing `%`; LIKE metacharacters escaped with
+    * `\`). Identical semantics in Spark and DuckDB. */
+  def toLike(pattern: String): String = {
+    val (body, anchored) =
+      if (pattern.endsWith("$")) (pattern.dropRight(1), true) else (pattern, false)
+    val escaped = body.flatMap {
+      case '%' => "\\%"
+      case '_' => "\\_"
+      case '\\' => "\\\\"
+      case '*' => "%"
+      case c => c.toString
+    }
+    if (anchored) escaped else escaped + "%"
+  }
+
+  /** rules: (host, pattern, allow) with robots-SYNTAX patterns; urls must
+    * carry (host, path) plus `idCol`. Adds `allowed` under RFC 9309
+    * precedence (longest matching pattern wins, allow wins length ties);
+    * URLs with no matching rule — or no rules for the host — are allowed.
+    * The robots→LIKE translation (`*`→`%`, trailing `$` anchor) runs as
+    * column expressions so the same rule rows evaluate identically in the
+    * DuckDB oracle; patterns that themselves contain SQL LIKE
+    * metacharacters (`%`, `_`, `\` — absent from real-world robots paths)
+    * must be pre-escaped with [[toLike]]'s Scala arm. */
+  def evaluate(urls: DataFrame, rules: DataFrame, idCol: String): DataFrame = {
+    val translated = regexp_replace(
+      regexp_replace(col("pattern"), "\\$$", ""), "\\*", "%")
+    val r = rules.select(col("host"), col("pattern"),
+        col("allow").cast("boolean").as("allow"))
+      .withColumn("plen", length(col("pattern")))
+      .withColumn("lk", when(col("pattern").endsWith("$"), translated)
+        .otherwise(concat(translated, lit("%"))))
+    urls.join(r, Seq("host"), "left")
+      .withColumn("m", expr("path like lk"))
+      .groupBy(idCol)
+      .agg(
+        first(col("host")).as("host"), first(col("path")).as("path"),
+        max(when(col("m"),
+          struct(col("plen"), col("allow").cast("int").as("a")))).as("best"))
+      .withColumn("allowed", coalesce(col("best.a") === 1, lit(true)))
+      .drop("best")
+  }
+}

@@ -182,6 +182,33 @@ object TextQueries {
       graft.ops.LinkGraph.domainStats(edges).orderBy("domain")
     }),
 
+    // robots.txt admission control (RFC 9309): longest-matching-pattern
+    // precedence with allow winning length ties, wildcard and $-anchored
+    // patterns, evaluated relationally (host join + LIKE + one max(struct))
+    "q55_robots" -> ((s, dir) => {
+      import s.implicits._
+      def hostCol(c: Column) = concat(lit("site"), c.cast("string"), lit(".com"))
+      val hosts = s.range(0, 5)
+      def rule(pattern: Column, allow: Boolean) =
+        hosts.select(hostCol(col("id")).as("host"), pattern.as("pattern"),
+          lit(allow).as("allow"))
+      val hid = col("id").cast("string")
+      val rules = rule(lit("/private"), allow = false)
+        .unionByName(rule(concat(lit("/private/open"), hid), allow = true))
+        .unionByName(rule(concat(lit("/a"), hid, lit("*")), allow = false))
+        .unionByName(rule(concat(lit("/exact"), hid, lit("$")), allow = false))
+      val h = (col("doc_id") % 5).cast("string")
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        hostCol(col("doc_id") % 5).as("host"),
+        when(col("doc_id") % 6 === 0, "/private/x")
+          .when(col("doc_id") % 6 === 1, concat(lit("/private/open"), h, lit("/y")))
+          .when(col("doc_id") % 6 === 2, concat(lit("/a"), h, lit("nything")))
+          .when(col("doc_id") % 6 === 3, concat(lit("/exact"), h))
+          .when(col("doc_id") % 6 === 4, concat(lit("/exact"), h, lit("/sub")))
+          .otherwise("/pub").as("path"))
+      graft.ops.Robots.evaluate(urls, rules, "doc_id").orderBy("doc_id")
+    }),
+
     // WARC container round trip (ISO 28500, the format Common Crawl
     // ships): deterministic .warc / .warc.gz payloads built row-side,
     // parsed per-partition by the hand-rolled codec; every header field
@@ -408,6 +435,37 @@ object TextQueries {
            CAST(min(cf.cf) AS BIGINT) AS min_cf
          FROM bg JOIN cf USING (bigram)
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    "q55_robots" ->
+      """WITH hosts AS (SELECT range AS h FROM range(5)),
+         rules AS (
+           SELECT 'site'||(h)::VARCHAR||'.com' AS host, '/private' AS pattern,
+                  FALSE AS allow FROM hosts
+           UNION ALL SELECT 'site'||(h)::VARCHAR||'.com',
+                  '/private/open'||(h)::VARCHAR, TRUE FROM hosts
+           UNION ALL SELECT 'site'||(h)::VARCHAR||'.com',
+                  '/a'||(h)::VARCHAR||'*', FALSE FROM hosts
+           UNION ALL SELECT 'site'||(h)::VARCHAR||'.com',
+                  '/exact'||(h)::VARCHAR||'$', FALSE FROM hosts),
+         r AS (SELECT host, pattern, allow, length(pattern) AS plen,
+           CASE WHEN pattern LIKE '%$'
+                THEN replace(left(pattern, length(pattern)-1), '*', '%')
+                ELSE replace(pattern, '*', '%') || '%' END AS lk FROM rules),
+         urls AS (SELECT doc_id,
+           'site'||(doc_id%5)::VARCHAR||'.com' AS host,
+           CASE doc_id%6 WHEN 0 THEN '/private/x'
+             WHEN 1 THEN '/private/open'||(doc_id%5)::VARCHAR||'/y'
+             WHEN 2 THEN '/a'||(doc_id%5)::VARCHAR||'nything'
+             WHEN 3 THEN '/exact'||(doc_id%5)::VARCHAR
+             WHEN 4 THEN '/exact'||(doc_id%5)::VARCHAR||'/sub'
+             ELSE '/pub' END AS path FROM documents),
+         j AS (SELECT u.doc_id, u.host, u.path, r.plen, r.allow
+           FROM urls u LEFT JOIN r ON u.host = r.host AND u.path LIKE r.lk),
+         best AS (SELECT doc_id, host, path, allow,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY plen DESC NULLS LAST, allow DESC NULLS LAST) AS rn
+           FROM j)
+         SELECT doc_id, host, path, COALESCE(allow, TRUE) AS allowed
+         FROM best WHERE rn = 1 ORDER BY doc_id""",
     "q54_link_graph" ->
       """WITH d0 AS (SELECT doc_id, unnest([0, 1]) AS k FROM documents),
          e0 AS (SELECT

@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing and RFC 9309 precedence, beyond the q55 grid. */
+class RobotsSpec extends SparkSpec {
+
+  private val robots =
+    """# crawl policy
+      |User-agent: megabot
+      |Disallow: /megabot-only
+      |
+      |User-agent: alpha
+      |User-agent: beta
+      |Disallow: /shared
+      |Allow: /shared/ok
+      |Crawl-delay: 5
+      |
+      |User-agent: *
+      |Disallow: /private
+      |Disallow:
+      |Allow: /private/pub$
+      |""".stripMargin
+
+  test("parse picks the specific group over *, shares multi-UA blocks") {
+    Robots.parse(robots, "MegaBot/2.1") shouldBe Seq(Rule("/megabot-only", false))
+    Robots.parse(robots, "beta") shouldBe
+      Seq(Rule("/shared", false), Rule("/shared/ok", true))
+    // empty Disallow is a no-op; comments are stripped
+    Robots.parse(robots, "unknown-bot") shouldBe
+      Seq(Rule("/private", false), Rule("/private/pub$", true))
+    Robots.parse("# nothing here", "anybot") shouldBe Seq.empty
+  }
+
+  private def Rule(p: String, a: Boolean) = Robots.Rule(p, a)
+
+  test("toLike escapes LIKE metacharacters and anchors $") {
+    Robots.toLike("/a*b") shouldBe "/a%b%"
+    Robots.toLike("/exact$") shouldBe "/exact"
+    Robots.toLike("/100%_x") shouldBe "/100\\%\\_x%"
+  }
+
+  test("evaluate: precedence, wildcards, anchors, rule-less hosts") {
+    import spark.implicits._
+    val rules = Seq(
+      ("h1", "/private", false),
+      ("h1", "/private/ok", true),
+      ("h1", "/w*card", false),
+      ("h1", "/end$", false)
+    ).toDF("host", "pattern", "allow")
+    val urls = Seq(
+      (1L, "h1", "/private/secret"), // blocked by /private
+      (2L, "h1", "/private/ok/page"), // longer allow wins
+      (3L, "h1", "/wildANDcard/x"), // wildcard disallow
+      (4L, "h1", "/end"), // anchored disallow
+      (5L, "h1", "/end/more"), // anchor must NOT match
+      (6L, "h1", "/elsewhere"), // no rule matches
+      (7L, "h2", "/private/secret") // host without rules
+    ).toDF("id", "host", "path")
+    val got = Robots.evaluate(urls, rules, "id")
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    got shouldBe Map(1L -> false, 2L -> true, 3L -> false, 4L -> false,
+      5L -> true, 6L -> true, 7L -> true)
+  }
+
+  test("parse → evaluate round trip over a real-shaped robots file") {
+    import spark.implicits._
+    val parsed = Robots.parse(robots, "anybot")
+    val rules = parsed.map(r => ("example.com", r.pattern, r.allow))
+      .toDF("host", "pattern", "allow")
+    val urls = Seq(
+      (1L, "example.com", "/private/x"),
+      (2L, "example.com", "/private/pub"),
+      (3L, "example.com", "/private/pub/deeper"),
+      (4L, "example.com", "/open")
+    ).toDF("id", "host", "path")
+    val got = Robots.evaluate(urls, rules, "id")
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // /private/pub$ is anchored: allows exactly /private/pub, not deeper
+    got shouldBe Map(1L -> false, 2L -> true, 3L -> false, 4L -> true)
+  }
+}
