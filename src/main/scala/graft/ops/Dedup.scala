@@ -290,6 +290,36 @@ object Dedup {
       .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
   }
 
+  /** Paragraph-level dedup (the Dolma-style granularity below whole-doc
+    * exact dedup): a paragraph repeated anywhere in the corpus survives
+    * only at its globally-first occurrence (min (doc, position)), and
+    * every document is reassembled from its kept paragraphs in original
+    * order. Shapes: posexplode (linear) → one hash-agg keyed by paragraph
+    * (`min(struct(id, pos))` — map-side partials, no window over the
+    * corpus) → equi-join back → per-doc hash-agg. At 100 TB the paragraph
+    * table is the only shuffled relation; in production the paragraph
+    * string would be keyed by its hash — the shapes are identical. */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      sep: String): DataFrame = {
+    val paras = docs.select(col(idCol).cast("long").as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    val firsts = paras.groupBy("para")
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+    val kept = paras.join(firsts, "para")
+      .where(col("id") === col("f.id") && col("pos") === col("f.pos"))
+    val rebuilt = kept.groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            p => p.getField("para")), sep).as("clean_text"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Hamming distance between two packed simhash values — bit_count of xor. */
   def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     bit_count(a.bitwiseXOR(b))

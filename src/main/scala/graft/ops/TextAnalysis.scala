@@ -48,6 +48,32 @@ object TextAnalysis {
       "digit_cnt" -> (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long"))
   }
 
+  /** PII scrubbing (the CCNet/Dolma pre-release pass): replace emails,
+    * dotted-quad IPs, and international-format phone numbers with fixed
+    * placeholder tokens. Patterns are lookahead-free ASCII regexes — the
+    * dialect slice where java.util.regex and RE2 (the DuckDB oracle)
+    * agree exactly — applied in a fixed order (email first, so its
+    * digits are gone before the phone pass). Pure regexp_replace chain:
+    * codegen'd, linear, no UDF. */
+  val PiiEmailRe = "[A-Za-z0-9._-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+"
+  val PiiIpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PiiPhoneRe = "\\+[0-9]{1,3}([ -][0-9]{2,4}){1,3}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmailRe, "<EMAIL>"),
+        PiiIpRe, "<IP>"),
+      PiiPhoneRe, "<PHONE>")
+
+  /** How many of each PII class the text carries (pre-redaction). */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    def cnt(re: String) =
+      size(regexp_extract_all(text, lit(s"($re)"), lit(1))).cast("long")
+    Seq("n_email" -> cnt(PiiEmailRe), "n_ip" -> cnt(PiiIpRe),
+      "n_phone" -> cnt(PiiPhoneRe))
+  }
+
   /** Toy n-gram-marker language ID: count marker tokens per language,
     * argmax with a fixed precedence order (deterministic; SQL-portable). */
   def langId(text: Column): Column = {

@@ -182,6 +182,46 @@ object TextQueries {
       graft.ops.LinkGraph.domainStats(edges).orderBy("domain")
     }),
 
+    // paragraph-level dedup (Dolma granularity): a paragraph repeated
+    // anywhere in the corpus survives only at its globally-first
+    // (doc, position) occurrence; docs reassemble from kept paragraphs
+    "q57_para_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      def str(c: Column) = c.cast("string")
+      val text = concat_ws(" | ",
+        concat(lit("para "), str(id % 17)),
+        concat(lit("para "), str((id * 3) % 17)),
+        concat(lit("para "), str(id % 5)))
+      graft.ops.Dedup.dedupParagraphs(
+        t(s, dir, "documents").select(col("doc_id"), text.as("ptext")),
+        "doc_id", "ptext", " | ")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // PII scrubbing (CCNet/Dolma pre-release pass): emails, dotted-quad
+    // IPs, international phones planted deterministically, redacted by
+    // the lookahead-free regex chain both engines run natively
+    "q56_pii_redact" -> ((s, dir) => {
+      val id = col("doc_id")
+      def str(c: Column) = c.cast("string")
+      val text = concat(
+        lit("contact user"), str(id % 100), lit("@mail"), str(id % 10),
+        lit(".example.com now "),
+        when(id % 3 === 0,
+          concat(lit("ip 10.0."), str(id % 256), lit("."), str((id * 7) % 256), lit(" ")))
+          .otherwise(""),
+        when(id % 2 === 0,
+          concat(lit("tel +49 30 "), str(lit(1000) + id % 9000), lit(" ")))
+          .otherwise(""),
+        lit("end"))
+      val piiCols = TextAnalysis.piiCounts(text).map { case (n, c) => c.as(n) }
+      t(s, dir, "documents")
+        .select(Seq(col("doc_id"),
+          TextAnalysis.redactPii(text).as("redacted")) ++ piiCols: _*)
+        .orderBy("doc_id")
+    }),
+
     // robots.txt admission control (RFC 9309): longest-matching-pattern
     // precedence with allow winning length ties, wildcard and $-anchored
     // patterns, evaluated relationally (host join + LIKE + one max(struct))
@@ -435,6 +475,43 @@ object TextQueries {
            CAST(min(cf.cf) AS BIGINT) AS min_cf
          FROM bg JOIN cf USING (bigram)
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    "q57_para_dedup" ->
+      """WITH p0 AS (SELECT doc_id, unnest([0, 1, 2]) AS pos FROM documents),
+         p AS (SELECT doc_id, pos, 'para ' ||
+             (CASE pos WHEN 0 THEN doc_id%17 WHEN 1 THEN (doc_id*3)%17
+                       ELSE doc_id%5 END)::VARCHAR AS para FROM p0),
+         kept AS (SELECT doc_id, pos, para FROM (
+             SELECT doc_id, pos, para,
+               row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+             FROM p) WHERE rn = 1),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(para, ' | ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+           CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept
+         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         ORDER BY d.doc_id""",
+    "q56_pii_redact" ->
+      """WITH t AS (SELECT doc_id,
+           'contact user' || (doc_id%100)::VARCHAR || '@mail' ||
+           (doc_id%10)::VARCHAR || '.example.com now ' ||
+           CASE WHEN doc_id%3=0 THEN 'ip 10.0.' || (doc_id%256)::VARCHAR ||
+             '.' || ((doc_id*7)%256)::VARCHAR || ' ' ELSE '' END ||
+           CASE WHEN doc_id%2=0 THEN 'tel +49 30 ' ||
+             (1000 + doc_id%9000)::VARCHAR || ' ' ELSE '' END ||
+           'end' AS text FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g'),
+             '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+             '\+[0-9]{1,3}([ -][0-9]{2,4}){1,3}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text,
+             '\+[0-9]{1,3}([ -][0-9]{2,4}){1,3}')) AS BIGINT) AS n_phone
+         FROM t ORDER BY doc_id""",
     "q55_robots" ->
       """WITH hosts AS (SELECT range AS h FROM range(5)),
          rules AS (
