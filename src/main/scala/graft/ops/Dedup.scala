@@ -221,11 +221,41 @@ object Dedup {
     * round is two equi-joins + a hash-agg, all shuffles keyed by node id.
     * Round-local frames are persisted one round at a time and re-rooted on
     * their RDD (same hygiene as Knn — plan depth stays constant). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          smallGraphMaxEdges: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     import org.apache.spark.storage.StorageLevel
     def barrier(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
     val e = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    // Auto-selected small-graph arm (the scorePairs broadcast-arm
+    // pattern): below the threshold the edge list fits the driver many
+    // times over, and union-find beats 4-6 distributed rounds' fixed
+    // cost by ~10×. The flooding loop below remains the scale path —
+    // near-dup edge sets at corpus scale exceed any driver.
+    if (nEdges <= smallGraphMaxEdges) {
+      val edgeArr = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e.unpersist(false)
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgeArr.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val comp = parent.keys.toArray.map(id => (id, find(id)))
+      // min-label components: union-by-min keeps roots minimal already
+      import spark.implicits._
+      return spark.createDataset(comp.toSeq).toDF("id", "comp")
+        .repartition(1)
+    }
     val edges = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = barrier(edges.select(col("a").as("id")).distinct()
@@ -264,6 +294,7 @@ object Dedup {
     outRdd.count()
     labels.unpersist(false)
     edges.unpersist(false)
+    e.unpersist(false)
     spark.createDataFrame(outRdd, outSchema)
   }
 

@@ -118,6 +118,10 @@ class DedupSpec extends SparkSpec {
       (20L, 21L), (21L, 22L), (30L, 31L)).toDF("a", "b")
     val got = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // distributed flooding arm must agree with the small-graph arm
+    val gotLoop = Dedup.connectedComponents(pairs, smallGraphMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLoop == got)
     // brute-force union-find
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
@@ -144,7 +148,8 @@ class DedupSpec extends SparkSpec {
     // pointer doubling must settle it in O(log n) rounds — well under the
     // default cap of 25
     val chain = (0 until 300).map(i => (i.toLong, i + 1L)).toDF("a", "b")
-    val got = Dedup.connectedComponents(chain).collect()
+    // force the distributed arm — the shortcutting claim is about IT
+    val got = Dedup.connectedComponents(chain, smallGraphMaxEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 301 && got.values.forall(_ == 0L))
   }
