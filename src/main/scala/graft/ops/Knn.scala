@@ -79,6 +79,10 @@ object Knn {
       .select(col("qid"), col("x").as("qx"), col("y").as("qy"),
         ci.colOfCol(col("x"), lvl).as("qc"), ci.rowOfCol(col("y"), lvl).as("qr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materializes the cache AND gives the loop the remaining-query count,
+    // so a round that settles EVERYTHING can skip the left_anti carry-join
+    // entirely (at a density-chosen level, round 1 usually settles all)
+    var remCount = remaining.count()
 
     var results: DataFrame = null
     val roundCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -97,7 +101,6 @@ object Knn {
       val wantExhaust = r >= n || (2 * r + 1) * (2 * r + 1) >= 4096 ||
         round >= maxRounds
       val worldCovered = wantExhaust && (lvl == 0 || {
-        val remCount = remaining.count()
         if (remCount <= maxExhaustQueries) true
         else {
           lvl = math.max(0, lvl - 2)
@@ -144,6 +147,10 @@ object Knn {
           lit(worldCovered) || (col("kth").isNotNull && col("kth") < lit(r * cs) * lit(r * cs)))
         .persist(StorageLevel.MEMORY_AND_DISK)
 
+      // one cheap cache-scan job over the (one-row-per-qid) ranked frame:
+      // how many queries settled this round
+      val settledCnt = ranked.where(col("settled")).count()
+
       val settledRows = barrier(ranked.where(col("settled"))
         .select(col("qid"), explode(col("topk")).as("t"))
         .select(col("qid"), col("t.rank"), col("t.pid"), col("t.dist2")))
@@ -152,7 +159,10 @@ object Knn {
       roundCaches += settledRows
       results = if (results == null) settledRows else results.unionByName(settledRows)
 
-      if (worldCovered) {
+      if (worldCovered || settledCnt == remCount) {
+        // everything settled (or the exhaustive arm just covered the
+        // world): no carry-over — skip the left_anti join + count that
+        // would only prove the remainder is empty
         ranked.unpersist(false)
         remaining.unpersist(false)
         done = true
@@ -164,7 +174,7 @@ object Knn {
         ranked.unpersist(false)
         remaining.unpersist(false)
         if (nLeft == 0) { next.unpersist(false); done = true }
-        else { remaining = next; r *= 2 }
+        else { remaining = next; remCount = nLeft; r *= 2 }
       }
     }
     pts.unpersist(false)

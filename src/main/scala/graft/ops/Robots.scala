@@ -56,8 +56,19 @@ object Robots {
     flush()
     val all = groups.result()
     val ua = userAgent.toLowerCase
-    all.find(_.agents.exists(a => a != "*" && ua.contains(a)))
-      .orElse(all.find(_.agents.contains("*")))
+    // RFC 9309 §2.2.1: the crawler obeys the MOST SPECIFIC matching group —
+    // the one whose product token is the longest match for its user-agent.
+    // A token matches when it equals the UA or is a prefix ending at a
+    // token boundary ("googlebot" matches "googlebot-images"; "bot" does
+    // NOT match "googlebot"). Ties and multiple groups with the same
+    // token: first in file order (maxBy keeps the first strict max).
+    def tokenMatch(a: String): Boolean =
+      a != "*" && (ua == a ||
+        (ua.startsWith(a) && !ua.charAt(a.length).isLetterOrDigit))
+    val specific = all
+      .flatMap(g => g.agents.filter(tokenMatch).map(a => (a.length, g)))
+    (if (specific.nonEmpty) Some(specific.maxBy(_._1)._2)
+     else all.find(_.agents.contains("*")))
       .map(_.rules.toSeq)
       .getOrElse(Seq.empty)
   }
@@ -82,14 +93,24 @@ object Robots {
     * carry (host, path) plus `idCol`. Adds `allowed` under RFC 9309
     * precedence (longest matching pattern wins, allow wins length ties);
     * URLs with no matching rule — or no rules for the host — are allowed.
-    * The robots→LIKE translation (`*`→`%`, trailing `$` anchor) runs as
-    * column expressions so the same rule rows evaluate identically in the
-    * DuckDB oracle; patterns that themselves contain SQL LIKE
-    * metacharacters (`%`, `_`, `\` — absent from real-world robots paths)
-    * must be pre-escaped with [[toLike]]'s Scala arm. */
+    * The robots→LIKE translation (`*`→`%`, trailing `$` anchor, LIKE
+    * metacharacters `%`/`_`/`\` escaped with `\` — percent-encoded paths
+    * like `/search?q=%22` are common in real robots.txt) runs as column
+    * expressions mirroring [[toLike]], so the same rule rows evaluate
+    * identically in Spark and in the DuckDB oracle (which must spell the
+    * match `LIKE ... ESCAPE '\'` — DuckDB has no default escape char). */
   def evaluate(urls: DataFrame, rules: DataFrame, idCol: String): DataFrame = {
+    // strip the trailing anchor, escape \ then % then _, THEN *->% — the
+    // same order toLike applies, so inserted escapes are never re-escaped
     val translated = regexp_replace(
-      regexp_replace(col("pattern"), "\\$$", ""), "\\*", "%")
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("pattern"), "\\$$", ""),
+            "\\\\", "\\\\\\\\"),
+          "%", "\\\\%"),
+        "_", "\\\\_"),
+      "\\*", "%")
     val r = rules.select(col("host"), col("pattern"),
         col("allow").cast("boolean").as("allow"))
       .withColumn("plen", length(col("pattern")))

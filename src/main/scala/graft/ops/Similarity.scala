@@ -361,10 +361,29 @@ object Similarity {
     }
   }
 
+  /** Brute-force cosine top-k with the plan auto-selected from the vector
+    * table's Catalyst size estimate, exactly like [[scorePairs]]: a
+    * dim-table-sized corpus takes the zero-shuffle broadcast arm
+    * ([[cosineTopKBroadcast]]); anything bigger runs the fully distributed
+    * self-join formulation ([[cosineTopK]]), which never collects. The two
+    * arms are bit-identical (same left-to-right IEEE754 folds over the
+    * same doubles — asserted in SimilaritySpec), so the selection is a
+    * pure plan choice. */
+  def cosineTopKAuto(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                     blockCol: Option[String] = None): DataFrame = {
+    val threshold = emb.sparkSession.conf
+      .get("graft.similarity.broadcastBytes", BroadcastVecBytes.toString).toLong
+    val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= BigInt(threshold)) cosineTopKBroadcast(emb, idCol, vecCol, k, blockCol)
+    else cosineTopK(emb, idCol, vecCol, k, blockCol)
+  }
+
   /** Brute-force cosine top-k with the block side broadcast — identical
     * output to [[cosineTopK]] (asserted in the spec) with zero shuffles:
-    * scan → per-row scan of the broadcast block → local top-k. The gate
-    * baseline plan when the vector table is dim-table-sized. */
+    * scan → per-row scan of the broadcast block → local top-k. Driver-
+    * memory bound by construction (collects the vector table) — only
+    * [[cosineTopKAuto]] should call it, which routes anything past
+    * [[BroadcastVecBytes]] to the distributed formulation. */
   def cosineTopKBroadcast(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                           blockCol: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession

@@ -38,6 +38,35 @@ object Urls {
     regexp_extract(authority, ":([0-9]+)$", 1)
   }
 
+  /** RFC 3986 §6.2.2.1 case normalization of percent-encodings: the hex
+    * digits of every percent-triplet are uppercased (`%2f` → `%2F`), so
+    * equivalent encodings stop splitting a dedup group. Byte-PRESERVING —
+    * nothing is ever percent-DECODED (that can change semantics, e.g.
+    * "%2F" vs "/"), which is why this is safe where decoding is not.
+    * Pure native functions: split on '%', conditionally uppercase the
+    * two-hex-digit head of each following piece, re-join. A '%' not
+    * followed by two hex digits (invalid encoding) passes through
+    * unchanged. */
+  def normalizePercentHex(url: Column): Column = {
+    val parts = split(url, "%", -1)
+    val head = element_at(parts, 1)
+    val rest = slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))
+    val fixed = transform(rest, p =>
+      when(p.rlike("^[0-9a-fA-F]{2}"),
+        concat(lit("%"), upper(p.substr(lit(1), lit(2))),
+          p.substr(lit(3), length(p))))
+        .otherwise(concat(lit("%"), p)))
+    when(size(parts) <= 1, url)
+      .otherwise(concat(head, array_join(fixed, "")))
+  }
+
+  /** [[canonicalize]] with opt-in percent-encoding hex normalization
+    * applied first (default OFF: a corpus keyed on already-canonical URLs
+    * must not see its keys move). */
+  def canonicalize(url: Column, normalizePctHex: Boolean): Column =
+    if (normalizePctHex) canonicalize(normalizePercentHex(url))
+    else canonicalize(url)
+
   /** full canonical form (see object doc for the rule set) */
   def canonicalize(url: Column): Column = {
     val sch = scheme(url)
@@ -61,21 +90,57 @@ object Urls {
         .otherwise(lit("")))
   }
 
-  /** compound second-level labels under which a third label is required to
-    * name a registrant (public-suffix-list heuristic subset; the full PSL
-    * would ship as a broadcast lookup in production) */
-  private val compoundSlds = Seq("co", "com", "org", "net", "ac", "gov", "edu")
+  /** Public-suffix snapshot (publicsuffix.org list format, bundled as a
+    * resource — see src/main/resources/public_suffix_snapshot.dat): only
+    * multi-label suffixes need listing because the PSL default rule makes
+    * every unknown TLD its own suffix. Parsed once per JVM into
+    * (exact suffixes, wildcard parents for `*.x` rules, `!` exceptions). */
+  private lazy val (pslExact, pslWildcardParents, pslExceptions) = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/public_suffix_snapshot.dat"), "UTF-8")
+    try {
+      val lines = src.getLines().map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("//")).toVector
+      (lines.filterNot(l => l.startsWith("*.") || l.startsWith("!")).toSet,
+        lines.filter(_.startsWith("*.")).map(_.drop(2)).toSet,
+        lines.filter(_.startsWith("!")).map(_.drop(1)).toSet)
+    } finally src.close()
+  }
 
-  /** registered domain (eTLD+1 heuristic): last two host labels, or last
-    * three when the second-to-last is a compound SLD like "co.uk" */
+  /** longest suffix (in labels) any snapshot rule can produce */
+  private lazy val pslMaxLabels: Int =
+    (pslExact.map(_.count(_ == '.') + 1) ++
+      pslWildcardParents.map(_.count(_ == '.') + 2)).max
+
+  /** Registered domain (eTLD+1) under the bundled public-suffix snapshot,
+    * PSL algorithm: the registrable domain is the public suffix plus one
+    * more label, where the MATCHING RULE IS THE LONGEST of (exact entries,
+    * `*.parent` wildcards minus `!` exceptions, and the default rule that
+    * any TLD is a suffix). Pure column expressions — each candidate
+    * suffix length is one `slice`+`concat_ws` probe into an `isin` set
+    * (InSet after optimization), so the lookup codegens and never leaves
+    * the projection. A host that IS a public suffix (or a single label,
+    * or an all-numeric IPv4 literal) passes through unchanged. */
   def registeredDomain(hostCol: Column): Column = {
     val labels = split(hostCol, "\\.")
     val n = size(labels)
-    val sld = element_at(labels, -2)
-    val three = n >= 3 && sld.isin(compoundSlds: _*)
-    when(n <= 2, hostCol).otherwise(
-      when(three,
-        concat_ws(".", element_at(labels, -3), element_at(labels, -2), element_at(labels, -1)))
-        .otherwise(concat_ws(".", element_at(labels, -2), element_at(labels, -1))))
+    def lastK(k: Int): Column = concat_ws(".", slice(labels, -k, k))
+    def inSet(c: Column, s: Set[String]): Column =
+      if (s.isEmpty) lit(false) else c.isin(s.toSeq: _*)
+    def isPublicSuffix(k: Int): Column = {
+      val exactHit = inSet(lastK(k), pslExact.filter(_.count(_ == '.') == k - 1))
+      val wildHit =
+        if (k < 2) lit(false)
+        else inSet(lastK(k - 1), pslWildcardParents.filter(_.count(_ == '.') == k - 2)) &&
+          !inSet(lastK(k), pslExceptions)
+      exactHit || wildHit
+    }
+    // default rule (suffix = bare TLD) as the base; wrap with longer
+    // candidate suffixes so the LONGEST matching rule is checked first
+    val base = when(n >= 2, lastK(2)).otherwise(hostCol)
+    val psl = (2 to pslMaxLabels).foldLeft(base) { (acc, k) =>
+      when(n >= k + 1 && isPublicSuffix(k), lastK(k + 1)).otherwise(acc)
+    }
+    when(hostCol.rlike("^[0-9.]+$"), hostCol).otherwise(psl)
   }
 }

@@ -150,12 +150,19 @@ object GeoQueries {
 
     // J1 + the north_rule's second skew tool: adaptive cell splitting (hot
     // base cells re-keyed at a finer G12 level) — identical join output,
-    // oracle shared with q14
+    // oracle shared with q14. The hot threshold scales with input size
+    // (4× the mean points per base cell, floor 16) so the bench measures
+    // a realistic operating point — only genuinely dense cells re-key —
+    // rather than the everything-hot worst case. Output identity across
+    // thresholds (including everything-hot) is pinned in
+    // SpatialJoinsSpec.
     "q38_pip_adaptive" -> ((s, dir) => {
       val pts = docPoints(t(s, dir, "documents"))
       val zones = WebPages.zones(s).drop("wkb")
+      val baseCells = 1L << (2 * 5) // 4^level grid cells at level 5
+      val hot = math.max(16L, 4L * pts.count() / baseCells)
       SpatialJoins.pointInBoxAdaptive(pts, zones, ci, level = 5, fineLevel = 7,
-          hotThreshold = 2)
+          hotThreshold = hot)
         .select("doc_id", "poly_id")
         .orderBy("doc_id", "poly_id")
     }),

@@ -23,10 +23,13 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // top-2 nearest neighbours by cosine within each label block — the
-    // brute-force baseline (broadcast block + JVM fold kernel; zero
-    // shuffles, bit-identical to the windowed column formulation)
+    // brute-force baseline, plan auto-selected from Catalyst size stats:
+    // dim-table-sized input → broadcast block + JVM fold kernel (zero
+    // shuffles); anything bigger → the distributed self-join formulation.
+    // Both arms are bit-identical (SimilaritySpec), so the gate output
+    // does not depend on which arm runs.
     "q30_ann_cosine" -> ((s, dir) => {
-      Similarity.cosineTopKBroadcast(t(s, dir, "embeddings"), "vec_id", "embedding", 2,
+      Similarity.cosineTopKAuto(t(s, dir, "embeddings"), "vec_id", "embedding", 2,
           blockCol = Some("label"))
         .orderBy("qid", "rnk")
     }),

@@ -222,29 +222,45 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // robots.txt admission control (RFC 9309): longest-matching-pattern
-    // precedence with allow winning length ties, wildcard and $-anchored
-    // patterns, evaluated relationally (host join + LIKE + one max(struct))
+    // robots.txt admission control, END TO END (RFC 9309): per-host
+    // robots.txt PAYLOADS are synthesized, parsed with Robots.parse
+    // (group selection picks the * group — a megabot group is present
+    // and must NOT match), and the parsed rules evaluate relationally
+    // (host join + LIKE ESCAPE + one max(struct)) under
+    // longest-matching-pattern precedence with allow winning length
+    // ties. The grid includes a literal-'%' pattern (percent-encoded
+    // path, common in real robots.txt) plus a path that an UNescaped
+    // LIKE translation would wrongly block — the oracle pins both.
     "q55_robots" -> ((s, dir) => {
       import s.implicits._
       def hostCol(c: Column) = concat(lit("site"), c.cast("string"), lit(".com"))
-      val hosts = s.range(0, 5)
-      def rule(pattern: Column, allow: Boolean) =
-        hosts.select(hostCol(col("id")).as("host"), pattern.as("pattern"),
-          lit(allow).as("allow"))
-      val hid = col("id").cast("string")
-      val rules = rule(lit("/private"), allow = false)
-        .unionByName(rule(concat(lit("/private/open"), hid), allow = true))
-        .unionByName(rule(concat(lit("/a"), hid, lit("*")), allow = false))
-        .unionByName(rule(concat(lit("/exact"), hid, lit("$")), allow = false))
+      val rules = s.range(0, 5).as[Long].flatMap { i =>
+        val robotsTxt =
+          s"""# crawl policy for site$i
+             |User-agent: megabot
+             |Disallow: /megabot-only
+             |
+             |User-agent: *
+             |Disallow: /private
+             |Allow: /private/open$i
+             |Disallow: /a$i*
+             |Disallow: /exact$i$$
+             |Disallow: /q%22search$i
+             |Crawl-delay: 5
+             |""".stripMargin
+        graft.ops.Robots.parse(robotsTxt, "trainingbot/1.0")
+          .map(r => (s"site$i.com", r.pattern, r.allow))
+      }.toDF("host", "pattern", "allow")
       val h = (col("doc_id") % 5).cast("string")
       val urls = t(s, dir, "documents").select(col("doc_id"),
         hostCol(col("doc_id") % 5).as("host"),
-        when(col("doc_id") % 6 === 0, "/private/x")
-          .when(col("doc_id") % 6 === 1, concat(lit("/private/open"), h, lit("/y")))
-          .when(col("doc_id") % 6 === 2, concat(lit("/a"), h, lit("nything")))
-          .when(col("doc_id") % 6 === 3, concat(lit("/exact"), h))
-          .when(col("doc_id") % 6 === 4, concat(lit("/exact"), h, lit("/sub")))
+        when(col("doc_id") % 8 === 0, "/private/x")
+          .when(col("doc_id") % 8 === 1, concat(lit("/private/open"), h, lit("/y")))
+          .when(col("doc_id") % 8 === 2, concat(lit("/a"), h, lit("nything")))
+          .when(col("doc_id") % 8 === 3, concat(lit("/exact"), h))
+          .when(col("doc_id") % 8 === 4, concat(lit("/exact"), h, lit("/sub")))
+          .when(col("doc_id") % 8 === 5, concat(lit("/q%22search"), h, lit("/x")))
+          .when(col("doc_id") % 8 === 6, concat(lit("/qX22search"), h, lit("/x")))
           .otherwise("/pub").as("path"))
       graft.ops.Robots.evaluate(urls, rules, "doc_id").orderBy("doc_id")
     }),
@@ -448,7 +464,7 @@ object TextQueries {
            CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
                 ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS pth,
            list_sort(list_filter(string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
-             x -> x <> '' AND x NOT LIKE 'utm_%')) AS params,
+             x -> x <> '' AND left(x, 4) <> 'utm_')) AS params,
            prt <> '' AND NOT ((sch='http' AND prt='80') OR (sch='https' AND prt='443'))
              AS keep_port,
            string_split(hst, '.') AS labels FROM h)
@@ -522,21 +538,30 @@ object TextQueries {
            UNION ALL SELECT 'site'||(h)::VARCHAR||'.com',
                   '/a'||(h)::VARCHAR||'*', FALSE FROM hosts
            UNION ALL SELECT 'site'||(h)::VARCHAR||'.com',
-                  '/exact'||(h)::VARCHAR||'$', FALSE FROM hosts),
+                  '/exact'||(h)::VARCHAR||'$', FALSE FROM hosts
+           UNION ALL SELECT 'site'||(h)::VARCHAR||'.com',
+                  '/q%22search'||(h)::VARCHAR, FALSE FROM hosts),
          r AS (SELECT host, pattern, allow, length(pattern) AS plen,
            CASE WHEN pattern LIKE '%$'
-                THEN replace(left(pattern, length(pattern)-1), '*', '%')
-                ELSE replace(pattern, '*', '%') || '%' END AS lk FROM rules),
+                THEN replace(replace(replace(replace(
+                       left(pattern, length(pattern)-1),
+                       '\', '\\'), '%', '\%'), '_', '\_'), '*', '%')
+                ELSE replace(replace(replace(replace(pattern,
+                       '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') || '%'
+           END AS lk FROM rules),
          urls AS (SELECT doc_id,
            'site'||(doc_id%5)::VARCHAR||'.com' AS host,
-           CASE doc_id%6 WHEN 0 THEN '/private/x'
+           CASE doc_id%8 WHEN 0 THEN '/private/x'
              WHEN 1 THEN '/private/open'||(doc_id%5)::VARCHAR||'/y'
              WHEN 2 THEN '/a'||(doc_id%5)::VARCHAR||'nything'
              WHEN 3 THEN '/exact'||(doc_id%5)::VARCHAR
              WHEN 4 THEN '/exact'||(doc_id%5)::VARCHAR||'/sub'
+             WHEN 5 THEN '/q%22search'||(doc_id%5)::VARCHAR||'/x'
+             WHEN 6 THEN '/qX22search'||(doc_id%5)::VARCHAR||'/x'
              ELSE '/pub' END AS path FROM documents),
          j AS (SELECT u.doc_id, u.host, u.path, r.plen, r.allow
-           FROM urls u LEFT JOIN r ON u.host = r.host AND u.path LIKE r.lk),
+           FROM urls u LEFT JOIN r
+             ON u.host = r.host AND u.path LIKE r.lk ESCAPE '\'),
          best AS (SELECT doc_id, host, path, allow,
              row_number() OVER (PARTITION BY doc_id
                ORDER BY plen DESC NULLS LAST, allow DESC NULLS LAST) AS rn

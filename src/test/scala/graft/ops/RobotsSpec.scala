@@ -35,6 +35,26 @@ class RobotsSpec extends SparkSpec {
 
   private def Rule(p: String, a: Boolean) = Robots.Rule(p, a)
 
+  test("parse picks the LONGEST matching token group, token-boundary only") {
+    val txt =
+      """User-agent: googlebot
+        |Disallow: /generic
+        |
+        |User-agent: googlebot-images
+        |Disallow: /images
+        |
+        |User-agent: bot
+        |Disallow: /everything
+        |""".stripMargin
+    // most specific (longest token) wins, not first-in-file
+    Robots.parse(txt, "googlebot-images") shouldBe Seq(Rule("/images", false))
+    Robots.parse(txt, "Googlebot/2.1") shouldBe Seq(Rule("/generic", false))
+    // "bot" matches only at a token boundary: yes for "bot-crawler",
+    // no for "superbot" (substring) — and with no * group, no rules apply
+    Robots.parse(txt, "bot-crawler/1.0") shouldBe Seq(Rule("/everything", false))
+    Robots.parse(txt, "superbot") shouldBe Seq.empty
+  }
+
   test("toLike escapes LIKE metacharacters and anchors $") {
     Robots.toLike("/a*b") shouldBe "/a%b%"
     Robots.toLike("/exact$") shouldBe "/exact"
@@ -62,6 +82,26 @@ class RobotsSpec extends SparkSpec {
       .orderBy("id").collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     got shouldBe Map(1L -> false, 2L -> true, 3L -> false, 4L -> false,
       5L -> true, 6L -> true, 7L -> true)
+  }
+
+  test("evaluate escapes LIKE metacharacters in raw robots patterns") {
+    import spark.implicits._
+    val rules = Seq(
+      ("h1", "/q%22s", false),      // literal % (percent-encoded path)
+      ("h1", "/under_score$", false), // literal _ plus anchor
+      ("h1", "/back\\slash", false) // literal backslash
+    ).toDF("host", "pattern", "allow")
+    val urls = Seq(
+      (1L, "h1", "/q%22secret"),   // literal prefix match → blocked
+      (2L, "h1", "/qX22s"),        // unescaped '%' would match this → allowed
+      (3L, "h1", "/under_score"),  // blocked
+      (4L, "h1", "/underXscore"),  // unescaped '_' would match this → allowed
+      (5L, "h1", "/back\\slash/x") // blocked
+    ).toDF("id", "host", "path")
+    val got = Robots.evaluate(urls, rules, "id")
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    got shouldBe Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
+      5L -> false)
   }
 
   test("parse → evaluate round trip over a real-shaped robots file") {

@@ -62,6 +62,17 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("cosineTopKAuto routes by plan stats; both arms bit-identical") {
+    def run() = Similarity.cosineTopKAuto(emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val broadcastArm = run() // tiny table → under the default threshold
+    spark.conf.set("graft.similarity.broadcastBytes", "1")
+    try {
+      val distributedArm = run() // forced over the threshold → self-join arm
+      assert(broadcastArm == distributedArm)
+    } finally spark.conf.unset("graft.similarity.broadcastBytes")
+  }
+
   test("annLshBanded recall@3 beats single-table at the same total planes") {
     val expect = bruteTopK(3)
     def recallOf(df: org.apache.spark.sql.DataFrame): Double = {

@@ -3,7 +3,8 @@
 
 Runs the REFERENCE orthogonalise kernel (aerial_conversion/orthogonalise/
 orthogonalise.py) on hand-picked polygons and dumps input/expected-output
-coordinates to src/test/resources/ortho_golden.json.
+coordinates to src/main/resources/ortho_golden.json (the resource
+GeomQueries.orthoGolden loads).
 
 The sandbox has no shapely/geopandas, so:
   - the pure-math reference functions (calculate_initial_compass_bearing,
