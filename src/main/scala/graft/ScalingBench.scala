@@ -43,6 +43,36 @@ object ScalingBench {
       println(s"""{"mode":"gen","pages":$n,"dir":"$dir"}""")
       spark.stop()
 
+    // Exercise the DISTRIBUTED connected-components flooding arm at a
+    // scale the gates never reach (the ≤2M-edge auto-select takes the
+    // driver union-find arm there): chains of 101 nodes — diameter 100,
+    // the shape that stresses pointer doubling — with nChains·100 edges.
+    // Validates closed-form (one component per chain, labelled by the
+    // chain's minimum node) and reports rounds + wall seconds.
+    case "ccbench" =>
+      val cores = args(1).toInt
+      val nChains = if (args.length > 2) args(2).toLong else 40000L
+      val spark = session(cores)
+      spark.sparkContext.setLogLevel("WARN")
+      import org.apache.spark.sql.functions._
+      val chainLen = 101L // nodes per chain → 100 edges per chain
+      val edges = spark.range(0, nChains * (chainLen - 1), 1, cores)
+        .select((col("id") / (chainLen - 1)).cast("long").as("c"),
+          pmod(col("id"), lit(chainLen - 1)).as("o"))
+        .select((col("c") * chainLen + col("o")).as("a"),
+          (col("c") * chainLen + col("o") + 1).as("b"))
+      val t0 = System.nanoTime()
+      val cc = graft.ops.Dedup.connectedComponents(edges, maxIter = 30,
+        smallGraphMaxEdges = 0L) // force the distributed flooding arm
+      val badLabels = cc.where(col("comp") =!= (col("id") - pmod(col("id"), lit(chainLen))))
+        .count() // closed form: every node's component is its chain start
+      val nComp = cc.select("comp").distinct().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rounds = spark.conf.get("graft.cc.rounds", "-1")
+      val ok = badLabels == 0 && nComp == nChains
+      println(f"""{"mode":"ccbench","cores":$cores,"edges":${nChains * (chainLen - 1)},"chains":$nChains,"rounds":$rounds,"sec":$sec%.3f,"components":$nComp,"bad_labels":$badLabels,"ok":$ok}""")
+      spark.stop()
+
     case "bench" =>
       val (cores, dir) = (args(1).toInt, args(2))
       val variant = if (args.length > 3) args(3) else "jts"

@@ -31,12 +31,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GeoQueries.queries ++ TextQueries.queries ++
       SimilarityQueries.queries ++ GeomQueries.queries ++ EventQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ StreamingQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ GeoQueries.oracleSql ++ TextQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ GeomQueries.oracleSql ++ EventQueries.oracleSql ++
-      MultimodalQueries.oracleSql
+      MultimodalQueries.oracleSql ++ StreamingQueries.oracleSql ++
+      PipelineQueries.oracleSql
 }

@@ -235,6 +235,7 @@ object Dedup {
     // cost by ~10×. The flooding loop below remains the scale path —
     // near-dup edge sets at corpus scale exceed any driver.
     if (nEdges <= smallGraphMaxEdges) {
+      spark.conf.set("graft.cc.rounds", "0") // driver arm: no flooding rounds
       val edgeArr = e.collect().map(r => (r.getLong(0), r.getLong(1)))
       e.unpersist(false)
       val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -286,6 +287,9 @@ object Dedup {
       labels.unpersist(false)
       labels = next
     }
+    // observability for the scale bench (tools/run_cc_scale protocol):
+    // how many flooding rounds this graph actually took
+    spark.conf.set("graft.cc.rounds", iter.toString)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("comp", org.apache.spark.sql.types.LongType)))

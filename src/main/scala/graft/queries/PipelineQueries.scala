@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.io.{Warc, WebPages}
+import graft.ops.{Dedup, Robots, TextAnalysis, Urls}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q58 — the composed crawl-to-corpus pipeline, end to end under one gate:
+  *
+  *   WARC container (ISO 28500, gzip-membered and plain)
+  *     → per-record parse → P20 deterministic text extraction
+  *     → URL canonicalization (RFC 3986 + crawl extras)
+  *     → robots.txt admission (payload → parse → relational evaluate)
+  *     → quality (token count) + language-ID filters
+  *     → exact dedup on canonical url (keep min doc)
+  *     → near-dup collapse on digit-normalized text (keep min doc;
+  *       the MinHash/LSH near-dup arm is gated separately at q47)
+  *     → PII redaction (emails → <EMAIL>) with pre-redaction counts
+  *     → corpus-level paragraph dedup over the REDACTED text (a repeated
+  *       paragraph survives only at its globally-first (doc, pos))
+  *     → deterministic train/val split.
+  *
+  * Every individual stage already has its own gate (q51, q29/q49, q55,
+  * q22-q24, q25, q56, q57); this gate proves they COMPOSE: the DuckDB
+  * oracle replays the full chain — admission LIKE, token/marker counts,
+  * both dedup group-bys, the redaction regexes, and the paragraph
+  * row_number — from the same closed-form synthetic crawl.
+  *
+  * Synthesis (all pure functions of the page id `pid`, m = pid % 150):
+  * 600 pages in 200 WARC files; 4 pids per m share one canonical url
+  * (messy casings/ports/utm/fragments differ); text is three " | "
+  * paragraphs: a shared intro (repeats across docs with equal m % 17), a
+  * body carrying the doc's own digits plus language markers (three
+  * planted variants: too-short, query-language, normal), and a planted
+  * email that redacts to the SAME string corpus-wide — so paragraph
+  * dedup keeps it only in the globally-first surviving doc. */
+object PipelineQueries {
+
+  private val NFiles = 200
+  private val RecsPerFile = 3
+
+  /** closed-form page text for m = pid % 150 — mirrored in the oracle */
+  private def pageText(m: Long): String = {
+    val w17 = WebPages.Words((m % 17).toInt)
+    val w8 = WebPages.Words((m % 8).toInt)
+    val para1 = s"intro $w17"
+    val para2 =
+      if (m % 13 == 0) "the" // too short → length-filtered
+      else if (m % 10 == 0) s"doc $m query data query query" // → qlang
+      else s"doc $m body $w8 the data"
+    val para3 = s"contact user$m@mail.example.com"
+    s"$para1 | $para2 | $para3"
+  }
+
+  /** messy raw url — canonicalizes to http://site{m%5}.com/p/{m} */
+  private def messyUrl(pid: Long): String = {
+    val m = pid % 150
+    val scheme = if (pid % 2 == 0) "http" else "HTTP"
+    val host = (if (pid % 3 == 0) "Site" else "site") + (m % 5) +
+      (if (pid % 4 == 0) ".COM." else ".com")
+    val port = if (pid % 6 == 0) ":80" else ""
+    val query = if (pid % 2 == 0) "?utm_source=x" else ""
+    val frag = if (pid % 5 == 0) "#frag" else ""
+    s"$scheme://$host$port/p/$m$query$frag"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_crawl_corpus" -> ((s, _) => {
+      import s.implicits._
+      // 1. the crawl at rest: WARC files (even ids gzip-per-record, odd plain)
+      val files = s.range(0, NFiles, 1, 8).map { fid =>
+        val recs = (0 until RecsPerFile).map { seq =>
+          val pid = fid * RecsPerFile + seq
+          val html = s"<html><body><p>${pageText(pid % 150)}</p></body></html>"
+          Warc.WarcRecord("response", messyUrl(pid),
+            java.time.Instant.ofEpochSecond(1700000000L + pid).toString,
+            s"<urn:uuid:q58-$pid>", "application/http", html.getBytes("UTF-8"))
+        }
+        (fid.toString, if (fid % 2 == 0) Warc.writeGz(recs) else Warc.write(recs))
+      }.toDF("path", "content")
+
+      // 2. parse, extract (P20), canonicalize
+      val pages = Warc.records(files)
+        .select((col("path").cast("long") * RecsPerFile + col("rec_seq")).as("pid"),
+          col("url"), WebPages.extractedText(col("body")).as("text"))
+        .withColumn("canon_url", Urls.canonicalize(col("url")))
+        .withColumn("host", Urls.host(col("url")))
+        .withColumn("path", regexp_replace(col("canon_url"), "^[a-z]+://[^/]*", ""))
+
+      // 3. robots admission, from parsed per-host payloads
+      val rules = s.range(0, 5).as[Long].flatMap { h =>
+        Robots.parse("User-agent: *\nDisallow: /p/12*\n", "trainingbot")
+          .map(r => (s"site$h.com", r.pattern, r.allow))
+      }.toDF("host", "pattern", "allow")
+      val adm = Robots.evaluate(pages.select("pid", "host", "path"), rules, "pid")
+        .where(col("allowed")).select("pid")
+      val admitted = pages.join(adm, "pid")
+
+      // 4. quality + language filters
+      val quality = admitted.where(
+        TextAnalysis.tokenCount(col("text")) >= 8 &&
+          TextAnalysis.langId(col("text")) === "en")
+
+      // 5. exact dedup on canonical url
+      val exactK = Dedup.exact(quality, "pid", "canon_url")
+        .select(col("keeper").as("pid"), col("n_dupes"))
+      val exactKept = quality.join(exactK, "pid")
+
+      // 6. near-dup collapse: digit-normalized text key
+      val nearK = Dedup.exact(
+        exactKept.withColumn("norm", regexp_replace(col("text"), "[0-9]", "")),
+        "pid", "norm").select(col("keeper").as("pid"))
+      val survivors = exactKept.join(nearK, "pid")
+
+      // 7. PII redaction with pre-redaction counts
+      val redacted = survivors
+        .withColumn("redacted", TextAnalysis.redactPii(col("text")))
+        .withColumn("n_email", TextAnalysis.piiCounts(col("text")).head._2)
+
+      // 8. corpus paragraph dedup over the redacted text
+      val paraDone = Dedup.dedupParagraphs(
+        redacted.select(col("pid"), col("redacted")), "pid", "redacted", " | ")
+        .withColumnRenamed("id", "pid")
+
+      // 9. split + final corpus row
+      redacted.select("pid", "canon_url", "n_dupes", "n_email")
+        .join(paraDone, "pid")
+        .withColumn("split", when(col("pid") % 10 < 8, "train").otherwise("val"))
+        .select(col("pid").as("doc_id"), col("canon_url"), col("clean_text"),
+          col("n_kept"), col("n_dupes"), col("n_email"), col("split"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = {
+    val words = WebPages.Words.map(w => s"'$w'").mkString("[", ",", "]")
+    Map(
+      "q58_crawl_corpus" ->
+        s"""WITH base AS (SELECT range AS pid, range % 150 AS m FROM range(600)),
+           txt AS (SELECT pid, m,
+             'intro ' || ($words)[CAST(m % 17 + 1 AS INTEGER)] AS para1,
+             CASE WHEN m % 13 = 0 THEN 'the'
+                  WHEN m % 10 = 0 THEN 'doc ' || m::VARCHAR || ' query data query query'
+                  ELSE 'doc ' || m::VARCHAR || ' body ' ||
+                       ($words)[CAST(m % 8 + 1 AS INTEGER)] || ' the data' END AS para2,
+             'contact user' || m::VARCHAR || '@mail.example.com' AS para3
+           FROM base),
+           doc AS (SELECT pid, m,
+             para1 || ' | ' || para2 || ' | ' || para3 AS text,
+             'http://site' || (m % 5)::VARCHAR || '.com/p/' || m::VARCHAR AS canon_url,
+             '/p/' || m::VARCHAR AS path FROM txt),
+           admitted AS (SELECT * FROM doc WHERE path NOT LIKE '/p/12%'),
+           qual AS (SELECT * FROM (SELECT *,
+               (length(text) - length(replace(text, 'the', ''))) // 3 AS c_en,
+               (length(text) - length(replace(text, 'query', ''))) // 5 AS c_q,
+               (length(text) - length(replace(text, 'data', ''))) // 4 AS c_d
+             FROM admitted)
+             WHERE len(string_split(text, ' ')) >= 8
+               AND c_en >= c_q AND c_en >= c_d),
+           exact AS (SELECT canon_url, min(pid) AS pid, count(*) AS n_dupes
+             FROM qual GROUP BY canon_url),
+           ek AS (SELECT q.*, e.n_dupes FROM qual q
+             JOIN exact e ON q.pid = e.pid),
+           near AS (SELECT min(pid) AS pid FROM
+             (SELECT pid, regexp_replace(text, '[0-9]', '', 'g') AS norm FROM ek)
+             GROUP BY norm),
+           red AS (SELECT ek.pid, ek.canon_url, ek.n_dupes,
+             regexp_replace(regexp_replace(regexp_replace(ek.text,
+               '[A-Za-z0-9._-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g'),
+               '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+               '\\+[0-9]{1,3}([ -][0-9]{2,4}){1,3}', '<PHONE>', 'g')
+               AS rtext,
+             len(regexp_extract_all(ek.text,
+               '[A-Za-z0-9._-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+')) AS n_email
+             FROM ek JOIN near ON ek.pid = near.pid),
+           px AS (SELECT pid, parts, unnest(range(len(parts))) AS pos FROM
+             (SELECT pid, string_split(rtext, ' | ') AS parts FROM red)),
+           paras AS (SELECT pid, pos, parts[CAST(pos + 1 AS INTEGER)] AS para FROM px),
+           kept AS (SELECT pid, pos, para FROM (
+               SELECT pid, pos, para,
+                 row_number() OVER (PARTITION BY para ORDER BY pid, pos) AS rn
+               FROM paras) WHERE rn = 1),
+           agg AS (SELECT pid, count(*) AS n_kept,
+               string_agg(para, ' | ' ORDER BY pos) AS clean_text
+             FROM kept GROUP BY pid)
+           SELECT r.pid AS doc_id, r.canon_url,
+             COALESCE(a.clean_text, '') AS clean_text,
+             CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+             CAST(r.n_dupes AS BIGINT) AS n_dupes,
+             CAST(r.n_email AS BIGINT) AS n_email,
+             CASE WHEN r.pid % 10 < 8 THEN 'train' ELSE 'val' END AS split
+           FROM red r LEFT JOIN agg a ON r.pid = a.pid ORDER BY doc_id"""
+    )
+  }
+}

@@ -19,6 +19,20 @@ object StreamingTiles {
     pages.withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("url")
 
+  /** Globally-stateful URL dedup over a watermarked stream: every url is
+    * emitted at its FIRST on-time occurrence and suppressed forever after
+    * (url-keyed state, never evicted), while the watermark gates LATE
+    * ARRIVALS — an event whose `warc_ts` is older than the current
+    * watermark is dropped on arrival, before it can claim its url. This
+    * is the admission-dedup a crawl frontier runs: bounded reordering is
+    * absorbed by the delay, and re-crawls of a seen url never re-emit.
+    * Deterministic for a fixed batch sequence (the watermark advances to
+    * max(event time) − delay at each batch boundary), which is what the
+    * q59 gate's DuckDB oracle replays. */
+  def dedupByUrlGlobal(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
+    pages.withWatermark("warc_ts", watermark)
+      .dropDuplicates("url")
+
   /** Tumbling-window counts per (window, tile cell): incremental version of
     * the flagship tile-assignment aggregation. */
   def tileCounts(pages: DataFrame, ci: CellIndex, level: Int,

@@ -33,6 +33,43 @@ class StreamingTilesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupByUrlGlobal: first on-time occurrence wins, late arrivals drop") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[PageEvent]
+    val out = StreamingTiles.dedupByUrlGlobal(stream.toDF(), "5 minutes")
+    val q = out.select("url").writeStream.format("memory")
+      .queryName("dedup_global").outputMode("append").start()
+    try {
+      stream.addData(PageEvent("a", ts(1), 0, 0), PageEvent("b", ts(20), 0, 0),
+        PageEvent("a", ts(21), 0, 0)) // in-batch duplicate
+      q.processAllAvailable() // wm = 10:20 - 5min = 10:15
+      stream.addData(
+        PageEvent("c", ts(2), 0, 0),  // LATE (10:02 < 10:15) → dropped
+        PageEvent("d", ts(25), 0, 0), // on time, new
+        PageEvent("b", ts(30), 0, 0)) // duplicate across batches
+      q.processAllAvailable()
+      stream.addData(PageEvent("c", ts(40), 0, 0)) // re-arrival, on time now
+      q.processAllAvailable()
+      val urls = spark.sql("select url from dedup_global")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(urls == Seq("a", "b", "c", "d"))
+    } finally q.stop()
+  }
+
+  test("q59 gate protocol is deterministic and matches its closed form") {
+    val df = graft.queries.StreamingQueries.queries("q59_stream_dedup")(spark, "")
+    val urls = df.collect().map(_.getString(0)).toSeq
+    val expect = ((0 until 50).map(i => s"u$i") ++ (60 until 80).map(i => s"u$i") ++
+      Seq("uLate", "uFinal")).sorted
+    assert(urls == expect)
+    // second run (fresh sink) reproduces it exactly
+    val again = graft.queries.StreamingQueries.queries("q59_stream_dedup")(spark, "")
+      .collect().map(_.getString(0)).toSeq
+    assert(again == expect)
+  }
+
   test("checkpointed query restarts exactly-once after a stop (kill/resume)") {
     val spark2 = spark
     import spark2.implicits._
