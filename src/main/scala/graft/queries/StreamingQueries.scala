@@ -44,8 +44,14 @@ object StreamingQueries {
       val deduped = StreamingTiles.dedupByUrlGlobal(
         stream.toDF().toDF("url", "warc_ts"), watermark = "30 seconds")
       val sink = "q59_sink_" + sinkId.incrementAndGet()
-      val q = deduped.select("url").writeStream
+      // state-store partitioning is fixed at query start from
+      // spark.sql.shuffle.partitions; 4 is right-sized for this gate's
+      // 72-key state (32 would pay 32 store commits per micro-batch)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try deduped.select("url").writeStream
         .format("memory").queryName(sink).outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       try {
         stream.addData((0 until 50).map(i => event(s"u$i", i)) ++
           (50 until 60).map(i => event(s"u${i - 50}", i)))
