@@ -14,13 +14,14 @@ import org.apache.spark.sql.types._
   * ALL THREE modalities decode for real: IMAGE via the JDK's javax.imageio
   * ([[JdkImage]] decode / resample / channel stats), AUDIO via a
   * hand-rolled RIFF/WAVE PCM16 codec ([[Wav]]: decode / encode /
-  * downsample / rms-peak stats), and VIDEO via a hand-rolled animated-GIF
-  * codec ([[Gif]]: GIF-variant LZW, frame delays, disposal, interlace,
-  * frame rendering) — animated GIF being the one video container a web
-  * crawl is full of that needs no external bitstream codec. `FakeCodec`
-  * remains only as the documented stand-in for true bitstream video
-  * (H.264/VP9 — no such codec ships in this container); swapping it for
-  * javacv/ffmpeg is a one-function change.
+  * downsample / rms-peak stats), and VIDEO via TWO real codecs — a
+  * hand-rolled animated-GIF codec ([[Gif]]: GIF-variant LZW, frame
+  * delays, disposal, interlace, frame rendering) and a Motion-JPEG AVI
+  * codec ([[graft.io.Avi]]: AVI RIFF container + per-frame JDK JPEG
+  * decode, a TRUE bitstream format). `FakeCodec` remains only as the
+  * documented stand-in for INTERFRAME-coded bitstreams (H.264/VP9 — no
+  * such codec ships in this container); swapping it for javacv/ffmpeg is
+  * a one-function change.
   */
 object Multimodal {
 
@@ -32,6 +33,12 @@ object Multimodal {
     def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
       out.toByteArray
     }
 
@@ -160,6 +167,26 @@ object Multimodal {
       (px, 2 + (id % 10).toInt) // per-frame delay in centiseconds
     }
     Gif.encode(w, h, palette, frames, interlace = id % 5 == 0)
+  }
+
+  /** Deterministic MJPEG AVI clip: `2 + id%4` solid-color JPEG frames
+    * (color a pure hash of (id, frame)), fps ∈ {5, 10, 20} so frame
+    * timestamps are exact centisecond integers. A TRUE bitstream video —
+    * independent JPEG frames in the AVI RIFF container ([[graft.io.Avi]]),
+    * decoded by the JDK's real JPEG codec. */
+  def syntheticAvi(id: Long, w: Int, h: Int): Array[Byte] = {
+    val nFrames = 2 + (id % 4).toInt
+    val fps = 5 * (1 << (id % 3).toInt) // 5, 10, 20
+    val frames = (0 until nFrames).map { f =>
+      val v = ((id * 37 + f * 11) % 256).toInt
+      val rgb = (v << 16) | (((v * 3) % 256) << 8) | ((v * 7) % 256)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      JdkImage.encodeJpeg(img)
+    }
+    graft.io.Avi.write(frames, w, h, fps)
   }
 
   /** REAL audio codec: RIFF/WAVE PCM16 little-endian (the dominant
@@ -292,6 +319,9 @@ object Multimodal {
           case _ if Gif.isGif(payload) =>
             val g = Gif.decode(payload)
             Row(g.width, g.height, g.frames.length)
+          case _ if graft.io.Avi.isAvi(payload) =>
+            val v = graft.io.Avi.parse(payload)
+            Row(v.width, v.height, v.frames.length)
           case _ =>
             val (w, h, f) = FakeCodec.decodeDims(payload)
             Row(w, h, f)
@@ -338,6 +368,17 @@ object Multimodal {
               val n = px.length.toDouble
               Row(id, "video", fi, starts(fi),
                 Seq(sr / n, sg / n, sb / n), JdkImage.encodePng(img))
+            }
+          case "video" if graft.io.Avi.isAvi(payload) =>
+            // MJPEG: every frame is an independent JPEG — decode the
+            // sampled ones with the real JDK codec, timestamp from the
+            // container's dwMicroSecPerFrame (exact integer cs)
+            val v = graft.io.Avi.parse(payload)
+            (0 until v.frames.length by everyK).map { fi =>
+              val jpeg = v.frames(fi)
+              Row(id, "video", fi, v.timestampCs(fi),
+                JdkImage.channelMeans(jpeg).toSeq,
+                JdkImage.encodePng(JdkImage.decode(jpeg)))
             }
           case "image" =>
             Seq(Row(id, "image", 0, 0,

@@ -25,6 +25,27 @@ object MultimodalQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // TRUE-bitstream video modality: MJPEG AVI payloads (AVI RIFF
+    // container, independent JPEG frames) built row-side, container
+    // parsed by the hand-rolled io/Avi codec, frames decoded by the
+    // JDK's real JPEG codec, sampled every 2nd; dims, frame count, and
+    // container-derived centisecond timestamps are closed-form
+    "q60_video_avi" -> ((s, _) => {
+      import s.implicits._
+      val media = s.range(0, N, 1, 8).filter(_ % 3 == 0).map { id =>
+        (id, "video", Multimodal.syntheticAvi(id,
+          32 + (id % 4).toInt * 16, 32 + (id % 3).toInt * 16))
+      }.toDF("media_id", "kind", "payload")
+      val meta = Multimodal.decodeMetaReal(media)
+        .select(col("media_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.frames").as("n_frames"))
+      Multimodal.extractFrames(media, everyK = 2)
+        .select(col("media_id"), col("frame_idx"), col("t_cs"))
+        .join(meta, "media_id")
+        .select("media_id", "width", "height", "n_frames", "frame_idx", "t_cs")
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // real audio modality: PCM16 WAV payloads built row-side, decoded by
     // the hand-rolled RIFF codec; the gate sticks to integer aggregates
     // (sample count, peak |v|, Σv²) so the oracle is value-exact
@@ -56,6 +77,17 @@ object MultimodalQueries {
          f AS (SELECT id, unnest(range(0, 2 + id % 4, 2)) AS fi FROM v)
          SELECT id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
            CAST(fi * (2 + id % 10) AS INTEGER) AS t_cs
+         FROM f ORDER BY media_id, frame_idx""",
+    "q60_video_avi" ->
+      s"""WITH v AS (SELECT range AS id FROM range($N) WHERE range % 3 = 0),
+         f AS (SELECT id, unnest(range(0, 2 + id % 4, 2)) AS fi FROM v)
+         SELECT id AS media_id,
+           CAST(32 + (id % 4) * 16 AS INTEGER) AS width,
+           CAST(32 + (id % 3) * 16 AS INTEGER) AS height,
+           CAST(2 + id % 4 AS INTEGER) AS n_frames,
+           CAST(fi AS INTEGER) AS frame_idx,
+           CAST(fi * (CASE id % 3 WHEN 0 THEN 20 WHEN 1 THEN 10 ELSE 5 END)
+             AS INTEGER) AS t_cs
          FROM f ORDER BY media_id, frame_idx""",
     "q52_audio" ->
       s"""WITH m AS (SELECT range AS id FROM range($N)),
