@@ -153,6 +153,24 @@ object Warc {
     records(spark.read.format("binaryFile").load(glob)
       .select(col("path"), col("content")))
 
+  /** Strip the HTTP response envelope from a WARC response body — real
+    * Common-Crawl response records carry `HTTP/1.1 200 OK\r\nheaders...
+    * \r\n\r\n<payload>` (content type `application/http; msgtype=
+    * response`), and downstream text extraction wants the payload alone.
+    * Pure column expressions, BYTE-PRESERVING: ISO-8859-1 decode is a
+    * bijection between bytes and chars, so locating the first blank line
+    * on the decoded string and re-encoding the tail returns the exact
+    * payload bytes. Bodies that don't start with `HTTP/` (or carry no
+    * blank line) pass through untouched. */
+  def httpPayload(body: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = decode(body, "ISO-8859-1")
+    val sep = locate("\r\n\r\n", s) // 1-based; 0 when absent
+    encode(
+      when(s.startsWith("HTTP/") && sep > 0,
+        s.substr(sep + lit(4), length(s))).otherwise(s),
+      "ISO-8859-1")
+  }
+
   /** response records → the `input_hint` page shape: (url, warc_ts, html,
     * text, lang) with text extracted by the UDF-free P20 chain. */
   def pages(recordRows: DataFrame): DataFrame =
@@ -161,7 +179,7 @@ object Warc {
       .select(
         col("url"),
         to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").as("warc_ts"),
-        col("body").as("html"))
+        httpPayload(col("body")).as("html")) // envelope-less bodies pass through
       .withColumn("text", WebPages.extractedText(col("html")))
       .withColumn("lang", lit(null).cast(StringType))
 }

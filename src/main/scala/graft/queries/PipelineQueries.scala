@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 
 /** q58 — the composed crawl-to-corpus pipeline, end to end under one gate:
   *
-  *   WARC container (ISO 28500, gzip-membered and plain)
-  *     → per-record parse → P20 deterministic text extraction
+  *   WARC container (ISO 28500, gzip-membered and plain; response
+  *       bodies carry the real HTTP envelope)
+  *     → per-record parse → HTTP-envelope strip (Warc.httpPayload)
+  *     → P20 deterministic text extraction
   *     → URL canonicalization (RFC 3986 + crawl extras)
   *     → robots.txt admission (payload → parse → relational evaluate)
   *     → quality (token count) + language-ID filters
@@ -67,22 +69,28 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_crawl_corpus" -> ((s, _) => {
       import s.implicits._
-      // 1. the crawl at rest: WARC files (even ids gzip-per-record, odd plain)
+      // 1. the crawl at rest: WARC files (even ids gzip-per-record, odd
+      //    plain), response bodies carrying the REAL HTTP envelope the
+      //    crawl stores (status line + headers + blank line + html)
       val files = s.range(0, NFiles, 1, 8).map { fid =>
         val recs = (0 until RecsPerFile).map { seq =>
           val pid = fid * RecsPerFile + seq
           val html = s"<html><body><p>${pageText(pid % 150)}</p></body></html>"
+          val body = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+            s"Content-Length: ${html.getBytes("UTF-8").length}\r\n\r\n" + html
           Warc.WarcRecord("response", messyUrl(pid),
             java.time.Instant.ofEpochSecond(1700000000L + pid).toString,
-            s"<urn:uuid:q58-$pid>", "application/http", html.getBytes("UTF-8"))
+            s"<urn:uuid:q58-$pid>", "application/http; msgtype=response",
+            body.getBytes("UTF-8"))
         }
         (fid.toString, if (fid % 2 == 0) Warc.writeGz(recs) else Warc.write(recs))
       }.toDF("path", "content")
 
-      // 2. parse, extract (P20), canonicalize
+      // 2. parse, strip the HTTP envelope, extract (P20), canonicalize
       val pages = Warc.records(files)
         .select((col("path").cast("long") * RecsPerFile + col("rec_seq")).as("pid"),
-          col("url"), WebPages.extractedText(col("body")).as("text"))
+          col("url"),
+          WebPages.extractedText(Warc.httpPayload(col("body"))).as("text"))
         .withColumn("canon_url", Urls.canonicalize(col("url")))
         .withColumn("host", Urls.host(col("url")))
         .withColumn("path", regexp_replace(col("canon_url"), "^[a-z]+://[^/]*", ""))

@@ -56,6 +56,24 @@ class WarcSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy Warc.parse(truncated)
   }
 
+  test("httpPayload strips the HTTP envelope byte-preservingly") {
+    import spark.implicits._
+    val html = "<html><body><p>hi</p></body></html>"
+    val enveloped = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
+      .getBytes("UTF-8")
+    // high bytes + an embedded blank line, NOT an HTTP message → untouched
+    val binary = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', '\r', '\n',
+      0xFF.toByte, 0x00, 0x7F)
+    val plain = html.getBytes("UTF-8")
+    val got = Seq(("a", enveloped), ("b", binary), ("c", plain))
+      .toDF("k", "body")
+      .select(col("k"), Warc.httpPayload(col("body")).as("p"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(java.util.Arrays.equals(got("a"), html.getBytes("UTF-8")))
+    assert(java.util.Arrays.equals(got("b"), binary)) // bytes survive exactly
+    assert(java.util.Arrays.equals(got("c"), plain))
+  }
+
   test("records() parses per-partition and pages() lands the input_hint shape") {
     import spark.implicits._
     val files = (0 until 6).map { f =>
