@@ -137,6 +137,22 @@ object PipelineQueries {
         .select(col("pid").as("doc_id"), col("canon_url"), col("clean_text"),
           col("n_kept"), col("n_dupes"), col("n_email"), col("split"))
         .orderBy("doc_id")
+    }),
+
+    // Training-order sharding + GPT-style sequence packing (ops/Packing):
+    // stateless ring-arithmetic shuffle key → shard → one window cumsum
+    // per shard assigns each doc its (sequence, offset) under
+    // concatenate-then-chunk semantics; the oracle replays the identical
+    // arithmetic and window
+    "q61_pack_shards" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Packing.packChunks(docs, "doc_id", "n_tokens",
+          budget = 64L, nShards = 8, seed = 42L)
+        .select(col("doc_id"), col("key"), col("shard"), col("seq_id"),
+          col("seq_off"), col("straddles"), col("n_tokens"))
+        .orderBy("doc_id")
     })
   )
 
@@ -197,7 +213,29 @@ object PipelineQueries {
              CAST(r.n_dupes AS BIGINT) AS n_dupes,
              CAST(r.n_email AS BIGINT) AS n_email,
              CASE WHEN r.pid % 10 < 8 THEN 'train' ELSE 'val' END AS split
-           FROM red r LEFT JOIN agg a ON r.pid = a.pid ORDER BY doc_id"""
+           FROM red r LEFT JOIN agg a ON r.pid = a.pid ORDER BY doc_id""",
+      "q61_pack_shards" -> {
+        val ring = 1L << 56
+        val c = (42L * 7919L + 12345L) % ring
+        s"""WITH d AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents),
+           k AS (SELECT doc_id, n_tokens,
+             ((doc_id * 2654435761 + $c) % $ring) AS k1 FROM d),
+           k2 AS (SELECT doc_id, n_tokens,
+             (k1 * 31 + 7) % $ring AS key FROM k),
+           s AS (SELECT doc_id, n_tokens, key, key % 8 AS shard FROM k2),
+           c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY shard
+               ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             FROM s)
+           SELECT doc_id, key, CAST(shard AS BIGINT) AS shard,
+             CAST((cum - n_tokens) // 64 AS BIGINT) AS seq_id,
+             CAST((cum - n_tokens) - ((cum - n_tokens) // 64) * 64 AS BIGINT)
+               AS seq_off,
+             ((cum - 1) // 64) > ((cum - n_tokens) // 64) AS straddles,
+             n_tokens
+           FROM c ORDER BY doc_id"""
+      }
     )
   }
 }
