@@ -144,6 +144,9 @@ object Avi {
         val id = cc(off)
         val size = b.getInt(off + 4)
         val dataOff = off + 8
+        // malformed size (negative, or past this container) ends the walk
+        // instead of looping or reading out of bounds
+        if (size < 0 || dataOff + size.toLong > end) return
         id match {
           case "LIST" =>
             val listType = cc(dataOff)

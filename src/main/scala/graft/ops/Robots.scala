@@ -21,20 +21,23 @@ object Robots {
 
   final case class Rule(pattern: String, allow: Boolean)
 
-  /** Rules of the most specific group matching `userAgent` (exact token
-    * match case-insensitively, else the `*` group), in file order.
-    * Groups follow RFC 9309: consecutive User-agent lines share the rule
-    * block that follows; comments and unknown directives are skipped;
-    * empty patterns are ignored (an empty Disallow allows everything). */
-  def parse(robotsTxt: String, userAgent: String = "*"): Seq[Rule] = {
-    final case class Group(agents: Seq[String], rules: Seq[Rule])
+  private final case class Group(agents: Seq[String], rules: Seq[Rule],
+                                 delay: Option[Double])
+
+  /** One pass over the file into UA groups (RFC 9309: consecutive
+    * User-agent lines share the rule block that follows; comments and
+    * unknown directives are skipped; empty patterns are ignored — an
+    * empty Disallow allows everything). Crawl-delay is captured per
+    * group; malformed values are ignored. */
+  private def scanGroups(robotsTxt: String): Vector[Group] = {
     val groups = Vector.newBuilder[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[Rule]
+    var delay: Option[Double] = None
     var inRules = false
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents, rules)
-      agents = Vector.empty; rules = Vector.empty; inRules = false
+      if (agents.nonEmpty) groups += Group(agents, rules, delay)
+      agents = Vector.empty; rules = Vector.empty; delay = None; inRules = false
     }
     robotsTxt.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -49,29 +52,59 @@ object Robots {
           case "allow" | "disallow" =>
             inRules = true
             if (value.nonEmpty) rules :+= Rule(value, key == "allow")
-          case _ => inRules = true // crawl-delay, sitemap, ... end the UA run
+          case "crawl-delay" =>
+            inRules = true
+            delay = value.toDoubleOption.filter(_ >= 0).orElse(delay)
+          case _ => inRules = true // sitemap, unknown, ... end the UA run
         }
       }
     }
     flush()
-    val all = groups.result()
+    groups.result()
+  }
+
+  /** RFC 9309 §2.2.1 group selection: the crawler obeys the MOST SPECIFIC
+    * matching group — the one whose product token is the longest match for
+    * its user-agent. A token matches when it equals the UA or is a prefix
+    * ending at a token boundary ("googlebot" matches "googlebot-images";
+    * "bot" does NOT match "googlebot"). Ties and multiple groups with the
+    * same token: first in file order (maxBy keeps the first strict max);
+    * no token match falls back to the `*` group. */
+  private def selectGroup(all: Vector[Group], userAgent: String): Option[Group] = {
     val ua = userAgent.toLowerCase
-    // RFC 9309 §2.2.1: the crawler obeys the MOST SPECIFIC matching group —
-    // the one whose product token is the longest match for its user-agent.
-    // A token matches when it equals the UA or is a prefix ending at a
-    // token boundary ("googlebot" matches "googlebot-images"; "bot" does
-    // NOT match "googlebot"). Ties and multiple groups with the same
-    // token: first in file order (maxBy keeps the first strict max).
     def tokenMatch(a: String): Boolean =
       a != "*" && (ua == a ||
         (ua.startsWith(a) && !ua.charAt(a.length).isLetterOrDigit))
     val specific = all
       .flatMap(g => g.agents.filter(tokenMatch).map(a => (a.length, g)))
-    (if (specific.nonEmpty) Some(specific.maxBy(_._1)._2)
-     else all.find(_.agents.contains("*")))
-      .map(_.rules.toSeq)
-      .getOrElse(Seq.empty)
+    if (specific.nonEmpty) Some(specific.maxBy(_._1)._2)
+    else all.find(_.agents.contains("*"))
   }
+
+  /** Rules of the group [[selectGroup]] picks for `userAgent`, in file
+    * order. */
+  def parse(robotsTxt: String, userAgent: String = "*"): Seq[Rule] =
+    selectGroup(scanGroups(robotsTxt), userAgent)
+      .map(_.rules.toSeq).getOrElse(Seq.empty)
+
+  /** All `Sitemap:` directives in the file (sitemaps.org protocol):
+    * group-independent per the spec — a crawl seeds its frontier from
+    * these regardless of which UA group applies. File order preserved. */
+  def sitemaps(robotsTxt: String): Seq[String] =
+    robotsTxt.linesIterator.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0 && line.substring(0, i).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(i + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }.toSeq
+
+  /** The `Crawl-delay:` of the group [[selectGroup]] picks for
+    * `userAgent` (a de-facto extension most crawlers honor): seconds, or
+    * None when the group carries none or the value does not parse. */
+  def crawlDelay(robotsTxt: String, userAgent: String = "*"): Option[Double] =
+    selectGroup(scanGroups(robotsTxt), userAgent).flatMap(_.delay)
 
   /** robots pattern → SQL LIKE pattern (`*`→`%`, trailing `$` anchors,
     * otherwise an implicit trailing `%`; LIKE metacharacters escaped with

@@ -42,4 +42,17 @@ object StreamingTiles {
       .withColumn("cell", ci.encodeCol(col("x"), col("y"), level))
       .groupBy(window(col("warc_ts"), windowLen), col("cell"))
       .agg(count(lit(1)).as("n"))
+
+  /** Gap-based crawl sessions per host, streaming: Spark's native
+    * `session_window` merges events closer than `gap` into one growing
+    * window whose state finalizes when the watermark passes its end — the
+    * incremental twin of the batch sessionization gate (q36). Output per
+    * closed session: host, start/end, event count. */
+  def hostSessions(pages: DataFrame, hostCol: String, gap: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame =
+    pages.withWatermark("warc_ts", watermark)
+      .groupBy(session_window(col("warc_ts"), gap), col(hostCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(hostCol), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n_events"))
 }

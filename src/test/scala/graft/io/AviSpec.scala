@@ -45,6 +45,25 @@ class AviSpec extends SparkSpec {
     v.frames.foreach(f => assert(java.util.Arrays.equals(f, payload)))
   }
 
+  test("malformed chunk sizes stop the walk instead of looping or overreading") {
+    val good = Avi.write(Seq(solidJpeg(0x123456, 20, 20)), 20, 20, fps = 10)
+    // corrupt the movi LIST's first frame-chunk size to a huge value
+    val idx = {
+      var i = 12
+      while (!(good(i) == '0' && good(i + 1) == '0' && good(i + 2) == 'd')) i += 1
+      i
+    }
+    val bad = good.clone()
+    bad(idx + 4) = 0xFF.toByte; bad(idx + 5) = 0xFF.toByte
+    bad(idx + 6) = 0xFF.toByte; bad(idx + 7) = 0x7F.toByte
+    val v = Avi.parse(bad) // header still parses; frame walk stops safely
+    v.width shouldBe 20
+    v.frames shouldBe empty
+    // negative size likewise
+    bad(idx + 7) = 0xFF.toByte
+    Avi.parse(bad).frames shouldBe empty
+  }
+
   test("decoded solid-color frames mean back to their color (JPEG tolerance)") {
     val rgb = 0x885522
     val avi = Avi.write(Seq(solidJpeg(rgb, 64, 48)), 64, 48, fps = 10)

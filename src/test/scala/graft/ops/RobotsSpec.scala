@@ -84,6 +84,27 @@ class RobotsSpec extends SparkSpec {
       5L -> true, 6L -> true, 7L -> true)
   }
 
+  test("sitemaps are group-independent; crawl-delay follows group selection") {
+    val txt =
+      """Sitemap: https://example.com/sitemap.xml
+        |User-agent: fastbot
+        |Crawl-delay: 0.5
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |Disallow: /y
+        |Sitemap: https://example.com/sitemap2.xml
+        |""".stripMargin
+    Robots.sitemaps(txt) shouldBe Seq(
+      "https://example.com/sitemap.xml", "https://example.com/sitemap2.xml")
+    Robots.crawlDelay(txt, "fastbot/1.0") shouldBe Some(0.5)
+    Robots.crawlDelay(txt, "otherbot") shouldBe Some(10.0)
+    Robots.crawlDelay("User-agent: *\nDisallow: /z\n", "anybot") shouldBe None
+    // malformed delay values are ignored, not zeroed
+    Robots.crawlDelay("User-agent: *\nCrawl-delay: soon\n", "anybot") shouldBe None
+  }
+
   test("evaluate escapes LIKE metacharacters in raw robots patterns") {
     import spark.implicits._
     val rules = Seq(

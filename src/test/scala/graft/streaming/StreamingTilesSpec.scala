@@ -33,6 +33,32 @@ class StreamingTilesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hostSessions merges events within the gap, splits across it") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[PageEvent]
+    // url column doubles as the host key for the test
+    val out = StreamingTiles.hostSessions(stream.toDF(), "url", gap = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData(
+        PageEvent("h1", ts(0), 0, 0), PageEvent("h1", ts(3), 0, 0), // one session
+        PageEvent("h1", ts(20), 0, 0),                              // next session
+        PageEvent("h2", ts(1), 0, 0))
+      q.processAllAvailable()
+      // push the watermark far past every session end to finalize them
+      stream.addData(PageEvent("sentinel", Timestamp.valueOf("2024-01-01 13:00:00"), 0, 0))
+      q.processAllAvailable()
+      stream.addData(PageEvent("sentinel2", Timestamp.valueOf("2024-01-01 13:00:01"), 0, 0))
+      q.processAllAvailable()
+      val rows = spark.sql("select url, n_events from sessions where url like 'h%'")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      rows shouldBe Seq(("h1", 1L), ("h1", 2L), ("h2", 1L))
+    } finally q.stop()
+  }
+
   test("dedupByUrlGlobal: first on-time occurrence wins, late arrivals drop") {
     val spark2 = spark
     import spark2.implicits._
