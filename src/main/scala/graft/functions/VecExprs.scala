@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding math — the builder brief's
+  * preferred extension tier (custom `Expression` WITH `doGenCode`, above
+  * any UDF): the generated code is a primitive float loop inlined into
+  * whole-stage codegen, so vector scoring stays inside the same generated
+  * function as the surrounding join/filter — no HOF interpreter, no row
+  * codec, no boxing.
+  *
+  * [[FloatVecDot]] replaces the `aggregate(zip_with(...))` higher-order
+  * fold (measured ~45 µs/pair in round 2 — the reason the broadcast arms
+  * carry hand-written JVM kernels) with the SAME left-to-right IEEE-754
+  * accumulation: each element pair is widened to double, multiplied, and
+  * added in index order, so results are bit-identical to both the HOF
+  * form and the JVM kernels (asserted in VecExprsSpec / SimilaritySpec).
+  * Contract: null-free `array<float>` inputs of equal length (embedding
+  * columns); a null ARRAY yields null (BinaryExpression null-safety). */
+case class FloatVecDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"float_vec_dot needs two array<float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecExprs {
+  /** dot(a, b) over `array<float>` columns as a codegen'd native
+    * expression — bit-identical to the HOF fold and the JVM kernels. */
+  def dotF(a: Column, b: Column): Column =
+    Bridge.column(FloatVecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** L2 norm via [[dotF]] (sqrt of the same fold — bit order preserved). */
+  def normF(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(dotF(a, a))
+}

@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbour search over an embedding column
   * (`array<float>`), per the builder brief: brute-force cosine top-k as the
   * correctness baseline, and a sign-random-projection (SRP) LSH-bucketed
-  * variant as the scale path. Dot products run as `aggregate`/`zip_with`
-  * higher-order functions over doubles with fixed left-to-right order —
-  * UDF-free, deterministic.
+  * variant as the scale path. Per-pair dot products on the hot join paths
+  * run as the native codegen'd [[graft.functions.FloatVecDot]] expression;
+  * the `aggregate`/`zip_with` higher-order [[dot]] stays as the
+  * SQL-portable reference form (same left-to-right double fold — the two
+  * are bit-identical, spec-asserted — and the shape the DuckDB oracle
+  * replays via `list_reduce`). UDF-free, deterministic either way.
   */
 object Similarity {
 
@@ -23,19 +26,24 @@ object Similarity {
   /** Brute-force cosine top-k: every pair scored via a self-join keyed by a
     * blocking column when supplied (else true cross product — only for
     * baseline/oracle scale). Output (qid, rnk, pid, cos). Deterministic
-    * tie-break (cos desc, pid asc). */
+    * tie-break (cos desc, pid asc). The per-pair dot runs as the native
+    * codegen'd [[graft.functions.FloatVecDot]] expression (same
+    * left-to-right IEEE-754 fold as the [[dot]] HOF and the broadcast JVM
+    * kernels — bit-identical, asserted in the specs — but inlined into
+    * whole-stage codegen instead of interpreting a lambda per pair). */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                  blockCol: Option[String] = None): DataFrame = {
+    import graft.functions.VecExprs
     val cols = Seq(col(idCol).as("id"), col(vecCol).as("v")) ++
       blockCol.map(c => col(c).as("blk"))
-    val e = emb.select(cols: _*).withColumn("n", norm(col("v")))
+    val e = emb.select(cols: _*).withColumn("n", VecExprs.normF(col("v")))
     val joinCond = blockCol match {
       case Some(_) => col("a.blk") === col("b.blk") && col("a.id") =!= col("b.id")
       case None => col("a.id") =!= col("b.id")
     }
     val pairs = e.as("a").join(e.as("b"), joinCond)
       .select(col("a.id").as("qid"), col("b.id").as("pid"),
-        (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cos"))
+        (VecExprs.dotF(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
     pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select("qid", "rnk", "pid", "cos")
@@ -65,13 +73,14 @@ object Similarity {
     * Single-table: all `nPlanes` bits must match, so recall collapses as
     * nPlanes grows — [[annLshBanded]] is the production path. */
   def annLsh(emb: DataFrame, idCol: String, vecCol: String, k: Int, nPlanes: Int): DataFrame = {
+    import graft.functions.VecExprs
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("n", norm(col("v")))
+      .withColumn("n", VecExprs.normF(col("v")))
       .withColumn("sig", srpSignature(col("v"), nPlanes))
     val pairs = e.as("a").join(e.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("qid"), col("b.id").as("pid"),
-        (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cos"))
+        (VecExprs.dotF(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
     pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select("qid", "rnk", "pid", "cos")

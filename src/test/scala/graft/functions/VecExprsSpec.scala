@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Native codegen'd float-vector dot: bit parity with the HOF fold in
+  * BOTH execution modes, and null/degenerate behavior. */
+class VecExprsSpec extends SparkSpec {
+
+  private lazy val vecs = {
+    val spark2 = spark
+    import spark2.implicits._
+    (0 until 500).map { i =>
+      val a = Array.tabulate(16)(d => math.sin(i * 16 + d + 1).toFloat)
+      val b = Array.tabulate(16)(d => math.cos(i * 7 + d * 3).toFloat)
+      (i.toLong, a, b)
+    }.toDF("id", "a", "b")
+  }
+
+  test("dotF is bit-identical to the aggregate/zip_with HOF fold") {
+    val rows = vecs.select(col("id"),
+        VecExprs.dotF(col("a"), col("b")).as("native"),
+        Similarity.dot(col("a"), col("b")).as("hof"))
+      .collect()
+    rows.length shouldBe 500
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("interpreted eval matches generated code") {
+    val on = vecs.select(VecExprs.dotF(col("a"), col("b"))).collect().map(_.getDouble(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = vecs.select(VecExprs.dotF(col("a"), col("b"))).collect().map(_.getDouble(0))
+      on.zip(off).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y))
+      }
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("null array yields null; empty arrays yield 0.0; normF matches") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      (1L, Some(Array(1f, 2f)), Some(Array(3f, 4f))),
+      (2L, None, Some(Array(3f, 4f))),
+      (3L, Some(Array.empty[Float]), Some(Array.empty[Float]))
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), VecExprs.dotF(col("a"), col("b")))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    got shouldBe Map(1L -> Some(11.0), 2L -> None, 3L -> Some(0.0))
+    val n = df.where(col("id") === 1).select(VecExprs.normF(col("a"))).head().getDouble(0)
+    n shouldBe math.sqrt(5.0)
+  }
+}
