@@ -34,6 +34,16 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // int8 scalar-quantized cosine top-k (FAISS SQ8 family): per-vector
+    // symmetric scale, integer code dots, scales cancel in cosine — the
+    // whole quantize→score→rank pipeline is exact integer + correctly-
+    // rounded IEEE ops, so the oracle replays it bit-for-bit
+    "q62_ann_sq8" -> ((s, dir) => {
+      graft.ops.Quantize.annSq8(t(s, dir, "embeddings"), "vec_id", "embedding", 2,
+          blockCol = Some("label"))
+        .orderBy("qid", "rnk")
+    }),
+
     // the ANN scale path: banded multi-table SRP-LSH candidates (equi-join
     // on (band, bandkey) — never all-pairs), exact cosine re-rank of
     // candidates only. The oracle runs the identical algorithm in DuckDB.
@@ -101,6 +111,31 @@ object SimilarityQueries {
   }.mkString(" UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
+    "q62_ann_sq8" ->
+      s"""WITH q AS (SELECT vec_id, label, embedding,
+             greatest(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s
+           FROM embeddings),
+         c AS (SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) AS cd
+           FROM q),
+         n AS (SELECT vec_id, label, cd,
+             CAST(list_sum(list_transform(cd, x -> x * x)) AS BIGINT) AS qn
+           FROM c),
+         pairs AS (SELECT a.vec_id AS qid, b.vec_id AS pid,
+             CAST(list_sum(list_transform(list_zip(a.cd, b.cd),
+               l -> l[1] * l[2])) AS BIGINT) AS qdot,
+             a.qn * b.qn AS qn2
+           FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id)
+         SELECT qid, CAST(rn AS INTEGER) AS rnk, pid, qdot,
+           CAST(qdot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE)) AS cos_q
+         FROM (SELECT qid, pid, qdot, qn2,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY CAST(qdot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE)) DESC,
+                        pid ASC) AS rn
+           FROM pairs)
+         WHERE rn <= 2 ORDER BY qid, rnk""",
     "q30_ann_cosine" ->
       s"""WITH $eSql,
          pairs AS (SELECT a.vec_id AS qid, b.vec_id AS pid,
