@@ -75,6 +75,63 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[FloatVecDot]]'s integer sibling for quantized-code arrays
+  * (`array<long>`, e.g. [[graft.ops.Quantize]] SQ8 codes): Σ a_i·b_i as a
+  * primitive long loop in whole-stage codegen. Integer arithmetic — the
+  * result is exactly the HOF fold's by definition (no rounding anywhere);
+  * caller guarantees products/sums fit a Long (SQ8: |code| ≤ 127). */
+case class LongVecDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isLongArray(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"long_vec_dot needs two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "long_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecExprs {
   /** dot(a, b) over `array<float>` columns as a codegen'd native
     * expression — bit-identical to the HOF fold and the JVM kernels. */
@@ -84,4 +141,8 @@ object VecExprs {
   /** L2 norm via [[dotF]] (sqrt of the same fold — bit order preserved). */
   def normF(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dotF(a, a))
+
+  /** integer dot over `array<long>` code columns ([[LongVecDot]]) */
+  def dotL(a: Column, b: Column): Column =
+    Bridge.column(LongVecDot(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -33,9 +33,9 @@ object Quantize {
     transform(vec, x => floor(x.cast("double") / s + 0.5).cast("long"))
   }
 
-  /** integer self-dot Σ c_i² of a code array */
+  /** integer self-dot Σ c_i² of a code array (native codegen'd loop) */
   private def codeNorm2(codes: Column): Column =
-    aggregate(transform(codes, x => x * x), lit(0L), (acc, v) => acc + v)
+    graft.functions.VecExprs.dotL(codes, codes)
 
   /** Quantized brute-force cosine top-k within blocks: quantize → block
     * self-join → INTEGER dot per pair → one divide+sqrt for the score.
@@ -52,8 +52,10 @@ object Quantize {
       case Some(_) => col("a.blk") === col("b.blk") && col("a.id") =!= col("b.id")
       case None => col("a.id") =!= col("b.id")
     }
-    val qdot = aggregate(zip_with(col("a.c"), col("b.c"), (x, y) => x * y),
-      lit(0L), (acc, v) => acc + v)
+    // native codegen'd integer loop ([[graft.functions.LongVecDot]]) —
+    // exactly the HOF fold's result (integer arithmetic, no rounding),
+    // without interpreting a lambda per pair
+    val qdot = graft.functions.VecExprs.dotL(col("a.c"), col("b.c"))
     val pairs = e.as("a").join(e.as("b"), joinCond)
       .select(col("a.id").as("qid"), col("b.id").as("pid"), qdot.as("qdot"),
         (col("a.qn") * col("b.qn")).as("qn2"))

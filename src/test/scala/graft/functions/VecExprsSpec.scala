@@ -41,6 +41,24 @@ class VecExprsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("dotL matches the integer HOF fold in both eval modes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val codes = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(16)(d => ((i * 31 + d * 7) % 255 - 127).toLong),
+        Array.tabulate(16)(d => ((i * 13 + d * 11) % 255 - 127).toLong))
+    }.toDF("id", "a", "b")
+    def hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val on = codes.select(VecExprs.dotL(col("a"), col("b")), hof).collect()
+    on.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val off = codes.select(VecExprs.dotL(col("a"), col("b"))).collect().map(_.getLong(0))
+      on.map(_.getLong(0)).zip(off).foreach { case (x, y) => assert(x == y) }
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("null array yields null; empty arrays yield 0.0; normF matches") {
     val spark2 = spark
     import spark2.implicits._
