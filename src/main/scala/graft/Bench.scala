@@ -22,6 +22,12 @@ import org.apache.spark.sql.SparkSession
   * scan → cell assignment → broadcast-STRtree PIP (jtsfast) → agg. */
 object Bench {
 
+  /** locale-proof 3-decimal formatting: the f-interpolator uses the JVM
+    * default locale, which on comma-decimal locales would print `0,123`
+    * and silently truncate every parsed query time to its integer part. */
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def time[T](f: => T): (Double, T) = {
     val t0 = System.nanoTime()
     val r = f
@@ -116,7 +122,7 @@ object Bench {
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     val results = runSweep(spark, sfDir)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"mode":"sweep","queries":$qs}""")
     spark.stop()
@@ -161,9 +167,9 @@ object Bench {
     val pipThroughput = featRows / pipSec
 
     val qs = (results :+ ("flagship_pip" -> pipSec))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + pipSec
-    val totalStr = f"$total%.3f"
+    val totalStr = fmt(total)
     println(
       s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir","pip_feature_rows":$featRows,"pip_rows_per_sec":${pipThroughput.toLong},"flagship_jvm":"$pipJvm","sweep_jvm":"$sweepJvm","scaling_evidence":"BENCH/BASELINE.md"}""")
     spark.stop()

@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
@@ -22,9 +22,14 @@ import org.apache.spark.sql.types._
   * added in index order, so results are bit-identical to both the HOF
   * form and the JVM kernels (asserted in VecExprsSpec / SimilaritySpec).
   * Contract: null-free `array<float>` inputs of equal length (embedding
-  * columns); a null ARRAY yields null (BinaryExpression null-safety). */
+  * columns); a null ARRAY yields null (BinaryExpression null-safety), and
+  * a LENGTH MISMATCH yields null too — matching the HOF twin, where
+  * `zip_with` pads the shorter array with nulls and the `aggregate` fold
+  * then returns null — rather than a plausible-looking truncated dot. */
 case class FloatVecDot(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def isFloatArray(dt: DataType): Boolean = dt match {
@@ -45,7 +50,8 @@ case class FloatVecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -61,12 +67,16 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -79,9 +89,12 @@ case class FloatVecDot(left: Expression, right: Expression)
   * (`array<long>`, e.g. [[graft.ops.Quantize]] SQ8 codes): Σ a_i·b_i as a
   * primitive long loop in whole-stage codegen. Integer arithmetic — the
   * result is exactly the HOF fold's by definition (no rounding anywhere);
-  * caller guarantees products/sums fit a Long (SQ8: |code| ≤ 127). */
+  * caller guarantees products/sums fit a Long (SQ8: |code| ≤ 127). A
+  * length mismatch yields null, like [[FloatVecDot]]. */
 case class LongVecDot(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def isLongArray(dt: DataType): Boolean = dt match {
@@ -102,7 +115,8 @@ case class LongVecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -118,18 +132,154 @@ case class LongVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** SQ8 scalar quantization of an `array<float>` embedding to `array<long>`
+  * codes in ONE pass per row: scale = max(max|v_i|, 1e-30)/127, then
+  * code_i = floor(v_i/scale + 0.5) — the exact IEEE-754 op sequence of the
+  * column-HOF reference twin ([[graft.ops.Quantize.sq8CodesRef]], which
+  * the DuckDB oracle replays), but with the scale computed ONCE instead of
+  * re-evaluating the array_max scan inside the per-element lambda (O(d)
+  * vs O(d²) per vector — invisible at the gated 16 dims, dominant at
+  * 768+). Bit-parity with the twin asserted in QuantizeSpec. */
+case class FloatVecSq8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"float_vec_sq8 needs an array<float> argument, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "float_vec_sq8"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val ab = math.abs(x.getFloat(i).toDouble)
+      if (ab > mx) mx = ab
+      i += 1
+    }
+    val s = math.max(mx, 1e-30) / 127.0
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(x.getFloat(i).toDouble / s + 0.5).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val mx = ctx.freshName("mx")
+      val s = ctx.freshName("s")
+      val arr = ctx.freshName("arr")
+      val ab = ctx.freshName("ab")
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = Double.NEGATIVE_INFINITY;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $ab = java.lang.Math.abs((double) $a.getFloat($i));
+         |  if ($ab > $mx) $mx = $ab;
+         |}
+         |double $s = java.lang.Math.max($mx, 1e-30) / 127.0;
+         |long[] $arr = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $arr[$i] = (long) java.lang.Math.floor((double) $a.getFloat($i) / $s + 0.5);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** SQ8 de-quantization v̂_i = code_i · scale as one pass per row (scale
+  * recomputed from the ORIGINAL float vector exactly as [[FloatVecSq8]]
+  * does, codes implied) — the distortion-bound twin of the quantizer with
+  * the same single-scan scale fix. Output `array<double>`. */
+case class FloatVecSq8Recon(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"float_vec_sq8_recon needs an array<float> argument, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "float_vec_sq8_recon"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val ab = math.abs(x.getFloat(i).toDouble)
+      if (ab > mx) mx = ab
+      i += 1
+    }
+    val s = math.max(mx, 1e-30) / 127.0
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(x.getFloat(i).toDouble / s + 0.5) * s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val mx = ctx.freshName("mx")
+      val s = ctx.freshName("s")
+      val arr = ctx.freshName("arr")
+      val ab = ctx.freshName("ab")
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = Double.NEGATIVE_INFINITY;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $ab = java.lang.Math.abs((double) $a.getFloat($i));
+         |  if ($ab > $mx) $mx = $ab;
+         |}
+         |double $s = java.lang.Math.max($mx, 1e-30) / 127.0;
+         |double[] $arr = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $arr[$i] = java.lang.Math.floor((double) $a.getFloat($i) / $s + 0.5) * $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object VecExprs {
@@ -145,4 +295,13 @@ object VecExprs {
   /** integer dot over `array<long>` code columns ([[LongVecDot]]) */
   def dotL(a: Column, b: Column): Column =
     Bridge.column(LongVecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** SQ8 codes of an `array<float>` column ([[FloatVecSq8]]): one scale
+    * scan per row, bit-identical to the column-HOF twin. */
+  def sq8(a: Column): Column =
+    Bridge.column(FloatVecSq8(Bridge.expression(a)))
+
+  /** SQ8 reconstruction of an `array<float>` column ([[FloatVecSq8Recon]]). */
+  def sq8Recon(a: Column): Column =
+    Bridge.column(FloatVecSq8Recon(Bridge.expression(a)))
 }

@@ -164,7 +164,11 @@ object Avi {
         off = dataOff + size + (size & 1) // chunks are word-aligned
       }
     }
-    walk(12, 8 + b.getInt(4))
+    // clamp the declared RIFF size to the real buffer so a truncated file
+    // (header promises more bytes than exist) ends the walk instead of
+    // reading out of bounds; nested walks are bounded by this via the
+    // dataOff+size <= end check above
+    walk(12, math.min(8L + b.getInt(4), bytes.length.toLong).toInt)
     AviVideo(width, height, usPerFrame, frames.result())
   }
 }

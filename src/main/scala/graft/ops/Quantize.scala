@@ -17,9 +17,17 @@ import org.apache.spark.sql.functions._
   * integer sums (exact in Long: 16-dim·127² products stay far under 2^53),
   * one multiply, one correctly-rounded sqrt and divide — so quantized
   * scores are BIT-identical across engines, and the DuckDB oracle replays
-  * the whole pipeline (q62). Float→double widening, division, floor and
-  * sqrt are all exactly specified by IEEE-754, so the CODES agree
+  * the whole pipeline (q62/q63). Float→double widening, division, floor
+  * and sqrt are all exactly specified by IEEE-754, so the CODES agree
   * cross-engine too.
+  *
+  * Quantization itself runs as the native codegen'd
+  * [[graft.functions.FloatVecSq8]] expression — ONE scale scan per row;
+  * the column-HOF spellings ([[sq8CodesRef]]/[[sq8ReconstructRef]]) stay
+  * as the SQL-portable reference twins (bit-parity asserted in
+  * QuantizeSpec) but re-evaluate the array_max scan inside the
+  * per-element lambda (O(d²) per vector — the reason they are not the
+  * production path at embedding dims of 768+).
   */
 object Quantize {
 
@@ -27,8 +35,12 @@ object Quantize {
   def sq8Scale(vec: Column): Column =
     greatest(array_max(transform(vec, x => abs(x.cast("double")))), lit(1e-30)) / 127.0
 
-  /** int8 codes as a long array (exact integer arithmetic downstream) */
-  def sq8Codes(vec: Column): Column = {
+  /** int8 codes as a long array — native one-scan expression */
+  def sq8Codes(vec: Column): Column = graft.functions.VecExprs.sq8(vec)
+
+  /** column-HOF reference twin of [[sq8Codes]] (the shape the DuckDB
+    * oracle replays); O(d²) per vector — spec/oracle use only. */
+  def sq8CodesRef(vec: Column): Column = {
     val s = sq8Scale(vec)
     transform(vec, x => floor(x.cast("double") / s + 0.5).cast("long"))
   }
@@ -42,7 +54,9 @@ object Quantize {
     * Output (qid, rnk, pid, qdot, cos_q), deterministic tie-break
     * (cos_q desc, pid asc). Same join shape as
     * [[Similarity.cosineTopK]]; the quantized scores track exact cosine
-    * within quantization error (recall pinned in QuantizeSpec). */
+    * within quantization error (recall pinned in QuantizeSpec). All-pairs
+    * within a block — the scoring BASELINE; [[annIvfSq8]] is the
+    * sub-quadratic production composition. */
   def annSq8(emb: DataFrame, idCol: String, vecCol: String, k: Int,
              blockCol: Option[String] = None): DataFrame = {
     val cols = Seq(col(idCol).cast("long").as("id"),
@@ -65,10 +79,129 @@ object Quantize {
       .select("qid", "rnk", "pid", "qdot", "cos_q")
   }
 
+  /** IVF-SQ8 — the FAISS composition a 100 TB embedding store actually
+    * runs: SUB-QUADRATIC candidate generation (IVF coarse quantizer) over
+    * a 4×-SMALLER quantized corpus with INTEGER scoring.
+    *
+    * Pipeline: (1) coarse centroids = [[Similarity.annIvf]]'s
+    * deterministic hash-strided draw (the vectors with the smallest
+    * `(id·2654435761) mod (2^31−1)`), ranked by EXACT float cosine so
+    * list assignment matches IVF-Flat's exactly; (2) every vector's SQ8
+    * codes + integer self-norm are keyed by its nearest list, queries
+    * fan out to their `nProbe` nearest lists; (3) candidates come from
+    * the list EQUI-join — never all-pairs; (4) scoring is the integer
+    * [[graft.functions.LongVecDot]] over codes (scales cancel in
+    * cosine), one divide+sqrt per pair.
+    *
+    * At scale: centroid selection is a distributed TakeOrdered over
+    * nLists rows; the probe join shuffles by list id like any equi-join
+    * (nLists ~ √corpus keeps lists bounded); the shuffled payload is the
+    * CODE array — one byte of information per dimension instead of four.
+    * Only the quantized codes ever reach the join; the float corpus is
+    * read once, in the projection. Recall vs exact cosine measured in
+    * QuantizeSpec; gated as q63 with a full-pipeline DuckDB oracle.
+    *
+    * Output (qid, rnk, pid, qdot, cos_q) like [[annSq8]]. */
+  def annIvfSq8(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                nLists: Int, nProbe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    // coarse quantizer: identical draw + exact-cosine ranking to annIvf so
+    // the two indexes share list structure (and the q41 oracle technique)
+    val centroids = e
+      .withColumn("mix", pmod(col("id") * lit(2654435761L), lit(2147483647L)))
+      .orderBy("mix", "id").limit(nLists)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .zipWithIndex.map { case ((_, v), i) =>
+        var s = 0.0; var d = 0
+        while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
+        (i, v, math.sqrt(s))
+      }
+    val bcC = spark.sparkContext.broadcast(centroids)
+
+    def nearestLists(v: Array[Float], m: Int): Array[Int] = {
+      var s = 0.0; var d = 0
+      while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
+      val n = math.sqrt(s)
+      bcC.value.map { case (li, cv, cn) =>
+        var dot = 0.0; var i = 0
+        while (i < v.length) { dot += v(i).toDouble * cv(i).toDouble; i += 1 }
+        (-(dot / (n * cn)), li) // cosine desc
+      }.sorted.take(m).map(_._2)
+    }
+    // quantize ONCE, inside the same partition-local pass as the list
+    // assignment (the JVM kernel is the native FloatVecSq8 expression's
+    // twin — identical IEEE-754 op sequence, asserted in QuantizeSpec);
+    // only codes + integer norms flow into the join
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val qSchema = StructType(Seq(
+      StructField("list", IntegerType), StructField("id", LongType),
+      StructField("c", ArrayType(LongType, containsNull = false)),
+      StructField("qn", LongType)))
+    implicit val qEnc = org.apache.spark.sql.Encoders.row(qSchema)
+    val lists = e.mapPartitions { it =>
+      it.map { r =>
+        val v = r.getSeq[Float](1).toArray
+        val (c, qn) = sq8Kernel(v)
+        Row(nearestLists(v, 1).head, r.getLong(0), c.toSeq, qn)
+      }
+    }.select(col("list"), col("id").as("pid"), col("c").as("pc"), col("qn").as("pn"))
+    val probes = e.mapPartitions { it =>
+      it.flatMap { r =>
+        val v = r.getSeq[Float](1).toArray
+        val (c, qn) = sq8Kernel(v)
+        val cs = c.toSeq
+        nearestLists(v, nProbe).iterator.map(li => Row(li, r.getLong(0), cs, qn))
+      }
+    }.select(col("list"), col("id").as("qid"), col("c").as("qc"), col("qn").as("qnn"))
+    val qdot = graft.functions.VecExprs.dotL(col("qc"), col("pc"))
+    val pairs = probes.join(lists, "list")
+      .where(col("qid") =!= col("pid"))
+      .select(col("qid"), col("pid"), qdot.as("qdot"),
+        (col("qnn") * col("pn")).as("qn2"))
+      .withColumn("cos_q", col("qdot").cast("double") / sqrt(col("qn2").cast("double")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_q").desc, col("pid").asc)
+    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("qid", "rnk", "pid", "qdot", "cos_q")
+  }
+
+  /** JVM twin of [[graft.functions.FloatVecSq8]] + the integer self-norm:
+    * (codes, Σc²) in one pass — identical IEEE-754 op sequence (same
+    * NegativeInfinity-seeded max scan, same max(·,1e-30)/127 scale, same
+    * floor(+0.5)), asserted bit-equal to the native expression in
+    * QuantizeSpec. Used where quantization happens inside a
+    * partition-local kernel ([[annIvfSq8]]'s assignment pass). */
+  def sq8Kernel(v: Array[Float]): (Array[Long], Long) = {
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < v.length) {
+      val ab = math.abs(v(i).toDouble)
+      if (ab > mx) mx = ab
+      i += 1
+    }
+    val s = math.max(mx, 1e-30) / 127.0
+    val out = new Array[Long](v.length)
+    var n2 = 0L
+    i = 0
+    while (i < v.length) {
+      val c = math.floor(v(i).toDouble / s + 0.5).toLong
+      out(i) = c
+      n2 += c * c
+      i += 1
+    }
+    (out, n2)
+  }
+
   /** De-quantized reconstruction v̂_i = code_i · scale — for the
-    * distortion bound |v − v̂| ≤ scale/2 the spec asserts. */
-  def sq8Reconstruct(vec: Column): Column = {
+    * distortion bound |v − v̂| ≤ scale/2 the spec asserts. Native
+    * one-scan expression. */
+  def sq8Reconstruct(vec: Column): Column = graft.functions.VecExprs.sq8Recon(vec)
+
+  /** column-HOF reference twin of [[sq8Reconstruct]] — spec use only. */
+  def sq8ReconstructRef(vec: Column): Column = {
     val s = sq8Scale(vec)
-    transform(sq8Codes(vec), c => c.cast("double") * s)
+    transform(sq8CodesRef(vec), c => c.cast("double") * s)
   }
 }

@@ -67,18 +67,29 @@ object Robots {
     * matching group — the one whose product token is the longest match for
     * its user-agent. A token matches when it equals the UA or is a prefix
     * ending at a token boundary ("googlebot" matches "googlebot-images";
-    * "bot" does NOT match "googlebot"). Ties and multiple groups with the
-    * same token: first in file order (maxBy keeps the first strict max);
-    * no token match falls back to the `*` group. */
+    * "bot" does NOT match "googlebot"). Per §2.2.1, rules from ALL groups
+    * that match with the winning token MUST be combined — real robots.txt
+    * files routinely repeat `User-agent: *` (or the same bot) across
+    * several groups — so every group whose best matching token has the
+    * winning length is merged, rules concatenated in file order; same for
+    * the `*` fallback. Crawl-delay: the last one any merged group defines
+    * wins. */
   private def selectGroup(all: Vector[Group], userAgent: String): Option[Group] = {
     val ua = userAgent.toLowerCase
     def tokenMatch(a: String): Boolean =
       a != "*" && (ua == a ||
         (ua.startsWith(a) && !ua.charAt(a.length).isLetterOrDigit))
-    val specific = all
-      .flatMap(g => g.agents.filter(tokenMatch).map(a => (a.length, g)))
-    if (specific.nonEmpty) Some(specific.maxBy(_._1)._2)
-    else all.find(_.agents.contains("*"))
+    val best = all.flatMap { g =>
+      g.agents.filter(tokenMatch).map(_.length).maxOption.map(g -> _)
+    }
+    val winners: Vector[Group] =
+      if (best.nonEmpty) {
+        val maxLen = best.map(_._2).max
+        best.collect { case (g, l) if l == maxLen => g }
+      } else all.filter(_.agents.contains("*"))
+    if (winners.isEmpty) None
+    else Some(Group(winners.flatMap(_.agents).distinct,
+      winners.flatMap(_.rules), winners.flatMap(_.delay).lastOption))
   }
 
   /** Rules of the group [[selectGroup]] picks for `userAgent`, in file

@@ -44,6 +44,18 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // IVF-SQ8 (the FAISS composition a 100 TB embedding store runs):
+    // sub-quadratic IVF candidate generation — hash-strided centroids,
+    // exact-cosine list assignment, nProbe equi-join — over the 4×-smaller
+    // SQ8-quantized corpus, scored with native integer dots. The oracle
+    // replays centroid draw, assignment, quantization and integer ranking
+    // end to end (the q41 oracle × the q62 oracle).
+    "q63_ann_ivfsq8" -> ((s, dir) => {
+      graft.ops.Quantize.annIvfSq8(t(s, dir, "embeddings"), "vec_id", "embedding", 2,
+          nLists = 16, nProbe = 3)
+        .orderBy("qid", "rnk")
+    }),
+
     // the ANN scale path: banded multi-table SRP-LSH candidates (equi-join
     // on (band, bandkey) — never all-pairs), exact cosine re-rank of
     // candidates only. The oracle runs the identical algorithm in DuckDB.
@@ -128,6 +140,49 @@ object SimilarityQueries {
                l -> l[1] * l[2])) AS BIGINT) AS qdot,
              a.qn * b.qn AS qn2
            FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id)
+         SELECT qid, CAST(rn AS INTEGER) AS rnk, pid, qdot,
+           CAST(qdot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE)) AS cos_q
+         FROM (SELECT qid, pid, qdot, qn2,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY CAST(qdot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE)) DESC,
+                        pid ASC) AS rn
+           FROM pairs)
+         WHERE rn <= 2 ORDER BY qid, rnk""",
+    "q63_ann_ivfsq8" ->
+      s"""WITH $eSql,
+         c AS (SELECT vec_id, embedding, n,
+             CAST(row_number() OVER (ORDER BY (vec_id*2654435761) % 2147483647, vec_id) - 1
+               AS INTEGER) AS li
+           FROM (SELECT * FROM e
+                 ORDER BY (vec_id*2654435761) % 2147483647, vec_id LIMIT 16)),
+         sims AS (SELECT v.vec_id, c.li,
+             list_reduce(list_transform(list_zip(v.embedding, c.embedding),
+               l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x,y) -> x + y)
+               / (v.n * c.n) AS cos
+           FROM e v CROSS JOIN c),
+         ranked AS (SELECT vec_id, li,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, li ASC) AS rn
+           FROM sims),
+         assign AS (SELECT vec_id AS pid, li AS list FROM ranked WHERE rn = 1),
+         probes AS (SELECT vec_id AS qid, li AS list FROM ranked WHERE rn <= 3),
+         sc AS (SELECT vec_id,
+             greatest(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s, embedding
+           FROM embeddings),
+         ccd AS (SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) AS cd
+           FROM sc),
+         nn AS (SELECT vec_id, cd,
+             CAST(list_sum(list_transform(cd, x -> x * x)) AS BIGINT) AS qn
+           FROM ccd),
+         cand AS (SELECT p.qid, a.pid FROM probes p JOIN assign a
+           ON a.list = p.list AND a.pid <> p.qid),
+         pairs AS (SELECT cand.qid, cand.pid,
+             CAST(list_sum(list_transform(list_zip(ca.cd, cb.cd),
+               l -> l[1] * l[2])) AS BIGINT) AS qdot,
+             ca.qn * cb.qn AS qn2
+           FROM cand JOIN nn ca ON ca.vec_id = cand.qid
+                     JOIN nn cb ON cb.vec_id = cand.pid)
          SELECT qid, CAST(rn AS INTEGER) AS rnk, pid, qdot,
            CAST(qdot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE)) AS cos_q
          FROM (SELECT qid, pid, qdot, qn2,

@@ -73,4 +73,22 @@ class VecExprsSpec extends SparkSpec {
     val n = df.where(col("id") === 1).select(VecExprs.normF(col("a"))).head().getDouble(0)
     n shouldBe math.sqrt(5.0)
   }
+
+  test("length mismatch yields null (matching zip_with's null-padding), both modes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val f = Seq((1L, Array(1f, 2f, 3f), Array(1f, 2f))).toDF("id", "a", "b")
+    val l = Seq((1L, Array(1L, 2L, 3L), Array(1L, 2L))).toDF("id", "a", "b")
+    def hofF = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    def check(): Unit = {
+      val rf = f.select(VecExprs.dotF(col("a"), col("b")), hofF).head()
+      assert(rf.isNullAt(0) && rf.isNullAt(1)) // native == HOF twin
+      assert(l.select(VecExprs.dotL(col("a"), col("b"))).head().isNullAt(0))
+    }
+    check()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
 }

@@ -55,6 +55,37 @@ class RobotsSpec extends SparkSpec {
     Robots.parse(txt, "superbot") shouldBe Seq.empty
   }
 
+  test("rules from ALL groups matching the winning token are combined") {
+    // RFC 9309 §2.2.1: real robots.txt files repeat `User-agent: *` (or
+    // the same bot) across several groups; every matching group's rules
+    // apply, concatenated in file order
+    val txt =
+      """User-agent: *
+        |Disallow: /a
+        |
+        |User-agent: googlebot
+        |Disallow: /g1
+        |Crawl-delay: 2
+        |
+        |User-agent: *
+        |Disallow: /b
+        |
+        |User-agent: googlebot
+        |Disallow: /g2
+        |Crawl-delay: 7
+        |""".stripMargin
+    Robots.parse(txt, "anybot") shouldBe Seq(Rule("/a", false), Rule("/b", false))
+    Robots.parse(txt, "googlebot") shouldBe
+      Seq(Rule("/g1", false), Rule("/g2", false))
+    // the last crawl-delay any merged group defines wins
+    Robots.crawlDelay(txt, "googlebot") shouldBe Some(7.0)
+    // a longer-token group is NOT merged into a shorter winner
+    val longer = txt + "\nUser-agent: googlebot-images\nDisallow: /img\n"
+    Robots.parse(longer, "googlebot-images") shouldBe Seq(Rule("/img", false))
+    Robots.parse(longer, "googlebot") shouldBe
+      Seq(Rule("/g1", false), Rule("/g2", false))
+  }
+
   test("toLike escapes LIKE metacharacters and anchors $") {
     Robots.toLike("/a*b") shouldBe "/a%b%"
     Robots.toLike("/exact$") shouldBe "/exact"
