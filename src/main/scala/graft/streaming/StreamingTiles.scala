@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object StreamingTiles {
 
-  /** Stateful URL dedup bounded by the watermark. */
+  /** Stateful URL dedup bounded by the watermark: key state is EVICTED
+    * once the watermark passes the recorded event time + delay, so state
+    * size tracks the reordering window, not the url universe — the
+    * bounded-state default (gated q64; a post-eviction re-crawl re-emits). */
   def dedupByUrl(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
     pages.withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("url")
@@ -28,7 +31,15 @@ object StreamingTiles {
     * absorbed by the delay, and re-crawls of a seen url never re-emit.
     * Deterministic for a fixed batch sequence (the watermark advances to
     * max(event time) − delay at each batch boundary), which is what the
-    * q59 gate's DuckDB oracle replays. */
+    * q59 gate's DuckDB oracle replays.
+    *
+    * STATE STORY AT 10^12 URLS: never-evicted url state must live in the
+    * RocksDB state store provider (off-heap/on-disk per partition), not
+    * the default in-heap HDFS-backed store — the q59 gate sets
+    * `spark.sql.streaming.stateStore.providerClass` accordingly and
+    * StreamingTilesSpec asserts RocksDB metrics appear in the query
+    * progress. Pipelines that only need reordering-window dedup should
+    * prefer [[dedupByUrl]], whose state is watermark-TTL'd (gated q64). */
   def dedupByUrlGlobal(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
     pages.withWatermark("warc_ts", watermark)
       .dropDuplicates("url")

@@ -96,6 +96,48 @@ class StreamingTilesSpec extends SparkSpec {
     assert(again == expect)
   }
 
+  test("gated streaming queries run on the RocksDB state store provider") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = try Some(spark.conf.get("spark.sql.streaming.stateStore.providerClass"))
+      catch { case _: Throwable => None }
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[PageEvent]
+    val q = StreamingTiles.dedupByUrlGlobal(stream.toDF(), "5 minutes")
+      .select("url").writeStream.format("memory")
+      .queryName("dedup_rocks").outputMode("append").start()
+    try {
+      stream.addData(PageEvent("a", ts(1), 0, 0), PageEvent("a", ts(2), 0, 0))
+      q.processAllAvailable()
+      // the provider actually in use surfaces RocksDB-specific custom
+      // metrics in the progress — an HDFS-backed store has none of these
+      val metrics = q.lastProgress.stateOperators.head.customMetrics.keySet()
+      assert(metrics.toString.contains("rocksdb"),
+        s"no RocksDB metrics in state operator progress: $metrics")
+      spark.sql("select url from dedup_rocks").count() shouldBe 1L
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("q64/q65/q66 gate protocols are deterministic across runs") {
+    def run(name: String): Seq[String] =
+      graft.queries.StreamingQueries.queries(name)(spark, "")
+        .collect().map(_.toString).toSeq
+    Seq("q64_stream_dedup_ttl", "q65_stream_tiles", "q66_stream_sessions")
+      .foreach { name =>
+        val a = run(name)
+        a.nonEmpty shouldBe true
+        run(name) shouldBe a
+      }
+  }
+
   test("checkpointed query restarts exactly-once after a stop (kill/resume)") {
     val spark2 = spark
     import spark2.implicits._
