@@ -66,77 +66,108 @@ object PipelineQueries {
     s"$scheme://$host$port/p/$m$query$frag"
   }
 
+  /** Stages 1-5 shared by q58 and q67: WARC files → parse → HTTP-envelope
+    * strip → P20 extraction → URL canonicalization → robots admission →
+    * quality/lang filters → exact dedup on canonical url. Returns the
+    * exact-kept docs (pid, url, text, canon_url, host, path, n_dupes). */
+  private def crawlExactKept(s: SparkSession): DataFrame = {
+    import s.implicits._
+    // 1. the crawl at rest: WARC files (even ids gzip-per-record, odd
+    //    plain), response bodies carrying the REAL HTTP envelope the
+    //    crawl stores (status line + headers + blank line + html)
+    val files = s.range(0, NFiles, 1, 8).map { fid =>
+      val recs = (0 until RecsPerFile).map { seq =>
+        val pid = fid * RecsPerFile + seq
+        val html = s"<html><body><p>${pageText(pid % 150)}</p></body></html>"
+        val body = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+          s"Content-Length: ${html.getBytes("UTF-8").length}\r\n\r\n" + html
+        Warc.WarcRecord("response", messyUrl(pid),
+          java.time.Instant.ofEpochSecond(1700000000L + pid).toString,
+          s"<urn:uuid:q58-$pid>", "application/http; msgtype=response",
+          body.getBytes("UTF-8"))
+      }
+      (fid.toString, if (fid % 2 == 0) Warc.writeGz(recs) else Warc.write(recs))
+    }.toDF("path", "content")
+
+    // 2. parse, strip the HTTP envelope, extract (P20), canonicalize
+    val pages = Warc.records(files)
+      .select((col("path").cast("long") * RecsPerFile + col("rec_seq")).as("pid"),
+        col("url"),
+        WebPages.extractedText(Warc.httpPayload(col("body"))).as("text"))
+      .withColumn("canon_url", Urls.canonicalize(col("url")))
+      .withColumn("host", Urls.host(col("url")))
+      .withColumn("path", regexp_replace(col("canon_url"), "^[a-z]+://[^/]*", ""))
+
+    // 3. robots admission, from parsed per-host payloads
+    val rules = s.range(0, 5).as[Long].flatMap { h =>
+      Robots.parse("User-agent: *\nDisallow: /p/12*\n", "trainingbot")
+        .map(r => (s"site$h.com", r.pattern, r.allow))
+    }.toDF("host", "pattern", "allow")
+    val adm = Robots.evaluate(pages.select("pid", "host", "path"), rules, "pid")
+      .where(col("allowed")).select("pid")
+    val admitted = pages.join(adm, "pid")
+
+    // 4. quality + language filters
+    val quality = admitted.where(
+      TextAnalysis.tokenCount(col("text")) >= 8 &&
+        TextAnalysis.langId(col("text")) === "en")
+
+    // 5. exact dedup on canonical url
+    val exactK = Dedup.exact(quality, "pid", "canon_url")
+      .select(col("keeper").as("pid"), col("n_dupes"))
+    quality.join(exactK, "pid")
+  }
+
+  /** Stages 7-9 shared by q58 and q67: PII redaction (with pre-redaction
+    * counts) → corpus paragraph dedup over the REDACTED text →
+    * deterministic train/val split → final corpus row. */
+  private def finishCorpus(survivors: DataFrame): DataFrame = {
+    val redacted = survivors
+      .withColumn("redacted", TextAnalysis.redactPii(col("text")))
+      .withColumn("n_email", TextAnalysis.piiCounts(col("text")).head._2)
+    val paraDone = Dedup.dedupParagraphs(
+      redacted.select(col("pid"), col("redacted")), "pid", "redacted", " | ")
+      .withColumnRenamed("id", "pid")
+    redacted.select("pid", "canon_url", "n_dupes", "n_email")
+      .join(paraDone, "pid")
+      .withColumn("split", when(col("pid") % 10 < 8, "train").otherwise("val"))
+      .select(col("pid").as("doc_id"), col("canon_url"), col("clean_text"),
+        col("n_kept"), col("n_dupes"), col("n_email"), col("split"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_crawl_corpus" -> ((s, _) => {
-      import s.implicits._
-      // 1. the crawl at rest: WARC files (even ids gzip-per-record, odd
-      //    plain), response bodies carrying the REAL HTTP envelope the
-      //    crawl stores (status line + headers + blank line + html)
-      val files = s.range(0, NFiles, 1, 8).map { fid =>
-        val recs = (0 until RecsPerFile).map { seq =>
-          val pid = fid * RecsPerFile + seq
-          val html = s"<html><body><p>${pageText(pid % 150)}</p></body></html>"
-          val body = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
-            s"Content-Length: ${html.getBytes("UTF-8").length}\r\n\r\n" + html
-          Warc.WarcRecord("response", messyUrl(pid),
-            java.time.Instant.ofEpochSecond(1700000000L + pid).toString,
-            s"<urn:uuid:q58-$pid>", "application/http; msgtype=response",
-            body.getBytes("UTF-8"))
-        }
-        (fid.toString, if (fid % 2 == 0) Warc.writeGz(recs) else Warc.write(recs))
-      }.toDF("path", "content")
-
-      // 2. parse, strip the HTTP envelope, extract (P20), canonicalize
-      val pages = Warc.records(files)
-        .select((col("path").cast("long") * RecsPerFile + col("rec_seq")).as("pid"),
-          col("url"),
-          WebPages.extractedText(Warc.httpPayload(col("body"))).as("text"))
-        .withColumn("canon_url", Urls.canonicalize(col("url")))
-        .withColumn("host", Urls.host(col("url")))
-        .withColumn("path", regexp_replace(col("canon_url"), "^[a-z]+://[^/]*", ""))
-
-      // 3. robots admission, from parsed per-host payloads
-      val rules = s.range(0, 5).as[Long].flatMap { h =>
-        Robots.parse("User-agent: *\nDisallow: /p/12*\n", "trainingbot")
-          .map(r => (s"site$h.com", r.pattern, r.allow))
-      }.toDF("host", "pattern", "allow")
-      val adm = Robots.evaluate(pages.select("pid", "host", "path"), rules, "pid")
-        .where(col("allowed")).select("pid")
-      val admitted = pages.join(adm, "pid")
-
-      // 4. quality + language filters
-      val quality = admitted.where(
-        TextAnalysis.tokenCount(col("text")) >= 8 &&
-          TextAnalysis.langId(col("text")) === "en")
-
-      // 5. exact dedup on canonical url
-      val exactK = Dedup.exact(quality, "pid", "canon_url")
-        .select(col("keeper").as("pid"), col("n_dupes"))
-      val exactKept = quality.join(exactK, "pid")
-
+      val exactKept = crawlExactKept(s)
       // 6. near-dup collapse: digit-normalized text key
       val nearK = Dedup.exact(
         exactKept.withColumn("norm", regexp_replace(col("text"), "[0-9]", "")),
         "pid", "norm").select(col("keeper").as("pid"))
-      val survivors = exactKept.join(nearK, "pid")
+      finishCorpus(exactKept.join(nearK, "pid"))
+    }),
 
-      // 7. PII redaction with pre-redaction counts
-      val redacted = survivors
-        .withColumn("redacted", TextAnalysis.redactPii(col("text")))
-        .withColumn("n_email", TextAnalysis.piiCounts(col("text")).head._2)
-
-      // 8. corpus paragraph dedup over the redacted text
-      val paraDone = Dedup.dedupParagraphs(
-        redacted.select(col("pid"), col("redacted")), "pid", "redacted", " | ")
-        .withColumnRenamed("id", "pid")
-
-      // 9. split + final corpus row
-      redacted.select("pid", "canon_url", "n_dupes", "n_email")
-        .join(paraDone, "pid")
-        .withColumn("split", when(col("pid") % 10 < 8, "train").otherwise("val"))
-        .select(col("pid").as("doc_id"), col("canon_url"), col("clean_text"),
-          col("n_kept"), col("n_dupes"), col("n_email"), col("split"))
-        .orderBy("doc_id")
+    // q67 — the composite with the PRODUCTION fuzzy arm: stage 6 is the
+    // full MinHash-LSH near-dup pipeline (vocab → doc token vids → typed
+    // MinHash Aggregator → banded star edges → connected components →
+    // keep component-min) over the exact-kept docs, composed with the
+    // same admission-before-dedup and dedup-before-redaction ordering as
+    // q58. The oracle replays vocab ids, the universal-hash minima, band
+    // keys, and the transitive closure (recursive CTE — the q44
+    // technique) INSIDE the full-chain q58 oracle. Near-dup here is real:
+    // docs sharing intro/body word choices but differing in digits/email
+    // land in one component only when enough band keys collide.
+    "q67_crawl_corpus_lsh" -> ((s, _) => {
+      val exactKept = crawlExactKept(s)
+      // 6'. MinHash-LSH near-dup over the surviving docs' text
+      val voc = Dedup.vocab(exactKept, "text")
+      val tv = Dedup.docTokenVids(exactKept, "pid", "text", voc)
+      val edges = Dedup.lshComponentEdges(Dedup.minhash(tv, 8))
+      val cc = Dedup.connectedComponents(edges)
+      val keepers = exactKept.select(col("pid"))
+        .join(cc.withColumnRenamed("id", "pid"), Seq("pid"), "left")
+        .where(coalesce(col("comp"), col("pid")) === col("pid"))
+        .select("pid")
+      finishCorpus(exactKept.join(keepers, "pid"))
     }),
 
     // Training-order sharding + GPT-style sequence packing (ops/Packing):
@@ -156,64 +187,103 @@ object PipelineQueries {
     })
   )
 
-  val oracleSql: Map[String, String] = {
+  /** Shared oracle prefix (stages 1-5): closed-form crawl → admission →
+    * quality → exact url dedup, ending at the `ek` CTE. */
+  private def crawlEkSql: String = {
     val words = WebPages.Words.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""base AS (SELECT range AS pid, range % 150 AS m FROM range(600)),
+       txt AS (SELECT pid, m,
+         'intro ' || ($words)[CAST(m % 17 + 1 AS INTEGER)] AS para1,
+         CASE WHEN m % 13 = 0 THEN 'the'
+              WHEN m % 10 = 0 THEN 'doc ' || m::VARCHAR || ' query data query query'
+              ELSE 'doc ' || m::VARCHAR || ' body ' ||
+                   ($words)[CAST(m % 8 + 1 AS INTEGER)] || ' the data' END AS para2,
+         'contact user' || m::VARCHAR || '@mail.example.com' AS para3
+       FROM base),
+       doc AS (SELECT pid, m,
+         para1 || ' | ' || para2 || ' | ' || para3 AS text,
+         'http://site' || (m % 5)::VARCHAR || '.com/p/' || m::VARCHAR AS canon_url,
+         '/p/' || m::VARCHAR AS path FROM txt),
+       admitted AS (SELECT * FROM doc WHERE path NOT LIKE '/p/12%'),
+       qual AS (SELECT * FROM (SELECT *,
+           (length(text) - length(replace(text, 'the', ''))) // 3 AS c_en,
+           (length(text) - length(replace(text, 'query', ''))) // 5 AS c_q,
+           (length(text) - length(replace(text, 'data', ''))) // 4 AS c_d
+         FROM admitted)
+         WHERE len(string_split(text, ' ')) >= 8
+           AND c_en >= c_q AND c_en >= c_d),
+       exact AS (SELECT canon_url, min(pid) AS pid, count(*) AS n_dupes
+         FROM qual GROUP BY canon_url),
+       ek AS (SELECT q.*, e.n_dupes FROM qual q
+         JOIN exact e ON q.pid = e.pid)"""
+  }
+
+  /** Shared oracle suffix (stages 7-9): PII redaction over `ek` restricted
+    * to the keeper CTE `keeperCte` (must expose a `pid` column), paragraph
+    * dedup, split, final corpus row. */
+  private def corpusTailSql(keeperCte: String): String =
+    s"""red AS (SELECT ek.pid, ek.canon_url, ek.n_dupes,
+         regexp_replace(regexp_replace(regexp_replace(ek.text,
+           '[A-Za-z0-9._-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g'),
+           '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+           '\\+[0-9]{1,3}([ -][0-9]{2,4}){1,3}', '<PHONE>', 'g')
+           AS rtext,
+         len(regexp_extract_all(ek.text,
+           '[A-Za-z0-9._-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+')) AS n_email
+         FROM ek JOIN $keeperCte ON ek.pid = $keeperCte.pid),
+       px AS (SELECT pid, parts, unnest(range(len(parts))) AS pos FROM
+         (SELECT pid, string_split(rtext, ' | ') AS parts FROM red)),
+       paras AS (SELECT pid, pos, parts[CAST(pos + 1 AS INTEGER)] AS para FROM px),
+       kept AS (SELECT pid, pos, para FROM (
+           SELECT pid, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY pid, pos) AS rn
+           FROM paras) WHERE rn = 1),
+       agg AS (SELECT pid, count(*) AS n_kept,
+           string_agg(para, ' | ' ORDER BY pos) AS clean_text
+         FROM kept GROUP BY pid)
+       SELECT r.pid AS doc_id, r.canon_url,
+         COALESCE(a.clean_text, '') AS clean_text,
+         CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+         CAST(r.n_dupes AS BIGINT) AS n_dupes,
+         CAST(r.n_email AS BIGINT) AS n_email,
+         CASE WHEN r.pid % 10 < 8 THEN 'train' ELSE 'val' END AS split
+       FROM red r LEFT JOIN agg a ON r.pid = a.pid ORDER BY doc_id"""
+
+  val oracleSql: Map[String, String] = {
     Map(
       "q58_crawl_corpus" ->
-        s"""WITH base AS (SELECT range AS pid, range % 150 AS m FROM range(600)),
-           txt AS (SELECT pid, m,
-             'intro ' || ($words)[CAST(m % 17 + 1 AS INTEGER)] AS para1,
-             CASE WHEN m % 13 = 0 THEN 'the'
-                  WHEN m % 10 = 0 THEN 'doc ' || m::VARCHAR || ' query data query query'
-                  ELSE 'doc ' || m::VARCHAR || ' body ' ||
-                       ($words)[CAST(m % 8 + 1 AS INTEGER)] || ' the data' END AS para2,
-             'contact user' || m::VARCHAR || '@mail.example.com' AS para3
-           FROM base),
-           doc AS (SELECT pid, m,
-             para1 || ' | ' || para2 || ' | ' || para3 AS text,
-             'http://site' || (m % 5)::VARCHAR || '.com/p/' || m::VARCHAR AS canon_url,
-             '/p/' || m::VARCHAR AS path FROM txt),
-           admitted AS (SELECT * FROM doc WHERE path NOT LIKE '/p/12%'),
-           qual AS (SELECT * FROM (SELECT *,
-               (length(text) - length(replace(text, 'the', ''))) // 3 AS c_en,
-               (length(text) - length(replace(text, 'query', ''))) // 5 AS c_q,
-               (length(text) - length(replace(text, 'data', ''))) // 4 AS c_d
-             FROM admitted)
-             WHERE len(string_split(text, ' ')) >= 8
-               AND c_en >= c_q AND c_en >= c_d),
-           exact AS (SELECT canon_url, min(pid) AS pid, count(*) AS n_dupes
-             FROM qual GROUP BY canon_url),
-           ek AS (SELECT q.*, e.n_dupes FROM qual q
-             JOIN exact e ON q.pid = e.pid),
+        s"""WITH $crawlEkSql,
            near AS (SELECT min(pid) AS pid FROM
              (SELECT pid, regexp_replace(text, '[0-9]', '', 'g') AS norm FROM ek)
              GROUP BY norm),
-           red AS (SELECT ek.pid, ek.canon_url, ek.n_dupes,
-             regexp_replace(regexp_replace(regexp_replace(ek.text,
-               '[A-Za-z0-9._-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+', '<EMAIL>', 'g'),
-               '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
-               '\\+[0-9]{1,3}([ -][0-9]{2,4}){1,3}', '<PHONE>', 'g')
-               AS rtext,
-             len(regexp_extract_all(ek.text,
-               '[A-Za-z0-9._-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+')) AS n_email
-             FROM ek JOIN near ON ek.pid = near.pid),
-           px AS (SELECT pid, parts, unnest(range(len(parts))) AS pos FROM
-             (SELECT pid, string_split(rtext, ' | ') AS parts FROM red)),
-           paras AS (SELECT pid, pos, parts[CAST(pos + 1 AS INTEGER)] AS para FROM px),
-           kept AS (SELECT pid, pos, para FROM (
-               SELECT pid, pos, para,
-                 row_number() OVER (PARTITION BY para ORDER BY pid, pos) AS rn
-               FROM paras) WHERE rn = 1),
-           agg AS (SELECT pid, count(*) AS n_kept,
-               string_agg(para, ' | ' ORDER BY pos) AS clean_text
-             FROM kept GROUP BY pid)
-           SELECT r.pid AS doc_id, r.canon_url,
-             COALESCE(a.clean_text, '') AS clean_text,
-             CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
-             CAST(r.n_dupes AS BIGINT) AS n_dupes,
-             CAST(r.n_email AS BIGINT) AS n_email,
-             CASE WHEN r.pid % 10 < 8 THEN 'train' ELSE 'val' END AS split
-           FROM red r LEFT JOIN agg a ON r.pid = a.pid ORDER BY doc_id""",
+           ${corpusTailSql("near")}""",
+      "q67_crawl_corpus_lsh" ->
+        s"""WITH RECURSIVE $crawlEkSql,
+           toks AS (SELECT DISTINCT pid, token FROM
+             (SELECT pid, unnest(string_split(text, ' ')) AS token FROM ek)),
+           voc AS (SELECT token,
+               CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS vid
+             FROM (SELECT DISTINCT token FROM toks)),
+           tv AS (SELECT pid, vid FROM toks JOIN voc USING(token)),
+           mh AS (SELECT pid, j,
+               min(((vid+1)*(2654435761 + 2*j) + j*7919) % 2147483647) AS mh
+             FROM tv, unnest(generate_series(0,7)) AS g(j) GROUP BY 1, 2),
+           bk AS (SELECT pid, j//2 AS band,
+               min(CASE WHEN j%2=0 THEN mh END) * 2147483647 +
+               min(CASE WHEN j%2=1 THEN mh END) AS bandkey
+             FROM mh GROUP BY pid, j//2),
+           cpairs AS (SELECT b1.pid AS a, b2.pid AS b FROM bk b1 JOIN bk b2
+             ON b1.band = b2.band AND b1.bandkey = b2.bandkey AND b1.pid < b2.pid
+             GROUP BY 1, 2),
+           edges AS (SELECT a, b FROM cpairs UNION SELECT b, a FROM cpairs),
+           reach(id, r) AS (
+             SELECT a AS id, a AS r FROM edges
+             UNION
+             SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+           comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+           keep AS (SELECT ek.pid FROM ek LEFT JOIN comp c ON c.id = ek.pid
+             WHERE coalesce(c.component, ek.pid) = ek.pid),
+           ${corpusTailSql("keep")}""",
       "q61_pack_shards" -> {
         val ring = 1L << 56
         val c = (42L * 7919L + 12345L) % ring
