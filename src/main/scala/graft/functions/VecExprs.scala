@@ -282,6 +282,91 @@ case class FloatVecSq8Recon(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All `bands` SRP-LSH band keys of an `array<float>` embedding in ONE
+  * expression evaluation: key b packs `rowsPerBand` sign bits of the
+  * deterministic hyperplane projections for planes
+  * [b·rowsPerBand, (b+1)·rowsPerBand). Identical IEEE-754 op sequence to
+  * [[graft.ops.Similarity.bandKeyKernel]] and the column-HOF
+  * [[graft.ops.Similarity.bandKeyCol]] (plane component
+  * ((p·2654435761 + i·40503) mod 1000)/1000 − 0.5, left-to-right double
+  * fold) — bit-parity asserted in SimilaritySpec — but inlined into
+  * whole-stage codegen: signature generation stays in the same generated
+  * function as the projection, no HOF interpreter per (vector, plane) and
+  * no mapPartitions row codec. Output `array<long>` of length `bands`. */
+case class FloatVecSrpKeys(child: Expression, bands: Int, rowsPerBand: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"float_vec_srp_keys needs an array<float> argument, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "float_vec_srp_keys"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        val p = (b * rowsPerBand + j).toLong
+        var proj = 0.0
+        var i = 0
+        while (i < n) {
+          val pc = ((p * 2654435761L + i * 40503L) % 1000L).toDouble / 1000.0 - 0.5
+          proj += x.getFloat(i).toDouble * pc
+          i += 1
+        }
+        if (proj > 0) key |= (1L << j)
+        j += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val arr = ctx.freshName("arr")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val pc = ctx.freshName("pc")
+      val proj = ctx.freshName("proj")
+      val key = ctx.freshName("key")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $arr = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $key = 0L;
+         |  for (int $j = 0; $j < $rowsPerBand; $j++) {
+         |    long $p = (long) ($b * $rowsPerBand + $j);
+         |    double $proj = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $pc = (double) (($p * 2654435761L + $i * 40503L) % 1000L) / 1000.0 - 0.5;
+         |      $proj += (double) $a.getFloat($i) * $pc;
+         |    }
+         |    if ($proj > 0) $key |= (1L << $j);
+         |  }
+         |  $arr[$b] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VecExprs {
   /** dot(a, b) over `array<float>` columns as a codegen'd native
     * expression — bit-identical to the HOF fold and the JVM kernels. */
@@ -304,4 +389,9 @@ object VecExprs {
   /** SQ8 reconstruction of an `array<float>` column ([[FloatVecSq8Recon]]). */
   def sq8Recon(a: Column): Column =
     Bridge.column(FloatVecSq8Recon(Bridge.expression(a)))
+
+  /** All SRP-LSH band keys of an `array<float>` column in one codegen'd
+    * pass ([[FloatVecSrpKeys]]) — bit-identical to the kernel/HOF twins. */
+  def srpKeys(a: Column, bands: Int, rowsPerBand: Int): Column =
+    Bridge.column(FloatVecSrpKeys(Bridge.expression(a), bands, rowsPerBand))
 }

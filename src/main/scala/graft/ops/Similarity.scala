@@ -56,8 +56,17 @@ object Similarity {
     (pmod(p * 2654435761L + i * 40503L, lit(1000L)).cast("double") / 1000.0) - 0.5
 
   /** SRP-LSH bucket signature: `nPlanes` sign bits packed into one Long.
-    * Vectors in the same bucket are cosine-close with high probability. */
-  def srpSignature(vec: Column, nPlanes: Int): Column = {
+    * Vectors in the same bucket are cosine-close with high probability.
+    * Runs as the native codegen'd [[graft.functions.FloatVecSrpKeys]]
+    * expression (one band of nPlanes bits) — bit-identical to the
+    * column-HOF twin [[srpSignatureRef]], asserted in SimilaritySpec. */
+  def srpSignature(vec: Column, nPlanes: Int): Column =
+    element_at(graft.functions.VecExprs.srpKeys(vec, 1, nPlanes), 1)
+
+  /** Column-HOF reference twin of [[srpSignature]] (the SQL-portable
+    * spelling the DuckDB oracles replay); interprets a lambda per
+    * (vector, plane) — spec/oracle use only. */
+  def srpSignatureRef(vec: Column, nPlanes: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val proj = aggregate(
         transform(vec, (x, i) => x.cast("double") * planeComponent(lit(p.toLong), i.cast("long"))),
@@ -141,20 +150,14 @@ object Similarity {
   def lshCandidatePairs(emb: DataFrame, idCol: String, vecCol: String,
                         bands: Int, rowsPerBand: Int): DataFrame = {
     val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val sigSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("bkey", org.apache.spark.sql.types.LongType)))
-    implicit val sigEnc = org.apache.spark.sql.Encoders.row(sigSchema)
-    val sigs = e.mapPartitions { it =>
-      it.flatMap { r =>
-        val id = r.getLong(0)
-        val v = r.getSeq[Float](1).toArray
-        (0 until bands).iterator.map { b =>
-          Row(id, b, bandKeyKernel(v, b, rowsPerBand))
-        }
-      }
-    }
+    // ALL band keys in one native expression evaluation per vector
+    // ([[graft.functions.FloatVecSrpKeys]], bit-identical to
+    // [[bandKeyKernel]]), then posexplode to the (id, band, bkey) layout —
+    // signature generation stays in whole-stage codegen end to end (the
+    // previous mapPartitions kernel paid the row codec on every vector)
+    val sigs = e.select(col("id"),
+      posexplode(graft.functions.VecExprs.srpKeys(col("v"), bands, rowsPerBand))
+        .as(Seq("band", "bkey")))
     // rename on independent projections — same-lineage self-joins silently
     // mis-resolve the a<b predicate
     val left = sigs.select(col("id").as("a"), col("band"), col("bkey"))

@@ -60,15 +60,27 @@ object Urls {
       .otherwise(concat(head, array_join(fixed, "")))
   }
 
-  /** [[canonicalize]] with opt-in percent-encoding hex normalization
-    * applied first (default OFF: a corpus keyed on already-canonical URLs
-    * must not see its keys move). */
+  /** [[canonicalize]] with explicit control over percent-encoding hex
+    * normalization (opt OUT for a corpus whose existing keys were built
+    * without it and must not move). */
   def canonicalize(url: Column, normalizePctHex: Boolean): Column =
-    if (normalizePctHex) canonicalize(normalizePercentHex(url))
-    else canonicalize(url)
+    if (normalizePctHex) canonicalizeCore(normalizePercentHex(url))
+    else canonicalizeCore(url)
 
-  /** full canonical form (see object doc for the rule set) */
-  def canonicalize(url: Column): Column = {
+  /** Full canonical form (see object doc for the rule set), INCLUDING
+    * percent-hex case normalization — DEFAULT ON as of round 5. Decision
+    * record: normalization is a pure function of the key, so the induced
+    * url grouping is a coarsening — groups can only MERGE (two spellings
+    * of one encoding), never split — and RFC 3986 §6.2.2.1 defines the
+    * merged spellings as equivalent URIs. Measured corpus effect on the
+    * gate corpora (q49 synthesis, q58 crawl, sf0.1 documents): zero keys
+    * moved (no lowercase percent-triplets occur), so the flip is
+    * behavior-preserving there while fixing real-crawl splits like
+    * `%2f`-vs-`%2F`. UrlsSpec pins the merge-only property. */
+  def canonicalize(url: Column): Column =
+    canonicalizeCore(normalizePercentHex(url))
+
+  private def canonicalizeCore(url: Column): Column = {
     val sch = scheme(url)
     val rest = regexp_replace(regexp_replace(url, schemeRe, ""), "#.*$", "")
     val authority = regexp_extract(rest, "^([^/?#]*)", 1)
@@ -136,10 +148,16 @@ object Urls {
       exactHit || wildHit
     }
     // default rule (suffix = bare TLD) as the base; wrap with longer
-    // candidate suffixes so the LONGEST matching rule is checked first
+    // candidate suffixes so the LONGEST matching rule is checked first.
+    // Exception rules (`!x.y.z`) are handled explicitly: per the PSL
+    // algorithm the matching exception IS the registrable domain (its
+    // public suffix is the exception minus the leftmost label) — falling
+    // through to the default rule would be wrong whenever the exception's
+    // parent is not a bare TLD (e.g. !city.kawasaki.jp under *.kawasaki.jp)
     val base = when(n >= 2, lastK(2)).otherwise(hostCol)
     val psl = (2 to pslMaxLabels).foldLeft(base) { (acc, k) =>
-      when(n >= k + 1 && isPublicSuffix(k), lastK(k + 1)).otherwise(acc)
+      when(n >= k && inSet(lastK(k), pslExceptions), lastK(k))
+        .otherwise(when(n >= k + 1 && isPublicSuffix(k), lastK(k + 1)).otherwise(acc))
     }
     when(hostCol.rlike("^[0-9.]+$"), hostCol).otherwise(psl)
   }

@@ -116,6 +116,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native srpKeys is bit-identical to kernel, HOF band key and HOF signature, both modes") {
+    def check(): Unit = {
+      val rows = emb.select(col("vec_id"), col("embedding"),
+          graft.functions.VecExprs.srpKeys(col("embedding"), 4, 6).as("keys"),
+          Similarity.srpSignature(col("embedding"), 10).as("sig"),
+          Similarity.srpSignatureRef(col("embedding"), 10).as("sigref"))
+        .collect()
+      rows.length shouldBe 200
+      rows.foreach { r =>
+        val v = r.getSeq[Float](1).toArray
+        val keys = r.getSeq[Long](2)
+        (0 until 4).foreach { b =>
+          assert(keys(b) == Similarity.bandKeyKernel(v, b, 6), s"band $b")
+        }
+        r.getLong(3) shouldBe r.getLong(4) // native signature == HOF twin
+      }
+    }
+    check()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("scorePairsJoin is bit-identical to scorePairsBroadcast (the scale re-rank arm)") {
     val spark2 = spark
     import spark2.implicits._

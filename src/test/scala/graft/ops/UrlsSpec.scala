@@ -71,6 +71,46 @@ class UrlsSpec extends SparkSpec {
       Seq("b.unknowntld", "10.0.0.1")
   }
 
+  test("registered domain: expanded snapshot — deep rules, regional private suffixes") {
+    // 4-label exact rules (Azure blob storage, Fastly shared certs)
+    domain("acct.blob.core.windows.net", "x.acct.blob.core.windows.net",
+      "site.global.ssl.fastly.net") shouldBe
+      Seq("acct.blob.core.windows.net", "acct.blob.core.windows.net",
+        "site.global.ssl.fastly.net")
+    // deep wildcard: *.compute.amazonaws.com — the REGION label is the
+    // wildcard, each EC2 hostname under it is its own registrant
+    domain("ec2-1-2-3-4.us-west-2.compute.amazonaws.com") shouldBe
+      Seq("ec2-1-2-3-4.us-west-2.compute.amazonaws.com")
+    // regional Blogger registrations group per blog, not per ccTLD
+    domain("myblog.blogspot.co.uk", "www.myblog.blogspot.in") shouldBe
+      Seq("myblog.blogspot.co.uk", "myblog.blogspot.in")
+    // Japanese designated-city wildcard with the !city exception
+    domain("shop.ward.kawasaki.jp", "www.city.kawasaki.jp") shouldBe
+      Seq("shop.ward.kawasaki.jp", "city.kawasaki.jp")
+    // US state and JP prefecture registries; dynamic-DNS private suffix
+    domain("www.school.ca.us", "site.tokyo.jp", "home.duckdns.org") shouldBe
+      Seq("school.ca.us", "site.tokyo.jp", "home.duckdns.org")
+  }
+
+  test("percent-hex normalization in canonicalize only merges groups, never splits") {
+    import spark.implicits._
+    val urls = Seq(
+      "http://a.com/p%2fx", "http://a.com/p%2Fx", // case-variant encodings → ONE group
+      "http://a.com/p/x",                         // distinct url → own group
+      "http://a.com/p%2gx"                        // invalid triplet → untouched, own group
+    ).toDF("url")
+    val groups = urls.select(Urls.canonicalize(col("url")).as("c"))
+      .groupBy("c").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    groups shouldBe Map(
+      "http://a.com/p%2Fx" -> 2L,
+      "http://a.com/p/x" -> 1L,
+      "http://a.com/p%2gx" -> 1L)
+    // opt-out keeps legacy keys byte-stable
+    val off = urls.select(Urls.canonicalize(col("url"), normalizePctHex = false).as("c"))
+      .distinct().count()
+    off shouldBe 4L
+  }
+
   test("percent-hex normalization uppercases triplets, never decodes") {
     import spark.implicits._
     def norm(urls: String*): Seq[String] =
@@ -80,12 +120,13 @@ class UrlsSpec extends SparkSpec {
       "bad%zz%4aok") shouldBe
       Seq("http://a.com/p%2Fq%3Ax", "no-escapes", "trailing%", "%2F",
         "bad%zz%4Aok")
-    // opt-in through canonicalize: groups merge; default leaves bytes alone
-    Seq("http://a.com/p%2fq", "http://a.com/p%2Fq").toDF("url")
-      .select(Urls.canonicalize(col("url"), normalizePctHex = true))
-      .collect().map(_.getString(0)).distinct should have length 1
+    // default-ON through canonicalize (round-5 decision): groups merge;
+    // the opt-out keeps legacy keys byte-stable
     Seq("http://a.com/p%2fq", "http://a.com/p%2Fq").toDF("url")
       .select(Urls.canonicalize(col("url")))
+      .collect().map(_.getString(0)).distinct should have length 1
+    Seq("http://a.com/p%2fq", "http://a.com/p%2Fq").toDF("url")
+      .select(Urls.canonicalize(col("url"), normalizePctHex = false))
       .collect().map(_.getString(0)).distinct should have length 2
   }
 
