@@ -282,6 +282,163 @@ case class FloatVecSq8Recon(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[FloatVecSq8]]'s AT-REST sibling: the SQ8 codes packed as BINARY —
+  * one signed byte per dimension (codes are in [-127, 127] by
+  * construction), so a parquet embedding table stores exactly d bytes
+  * per vector instead of 4d float bytes. Same scale/floor op sequence as
+  * [[FloatVecSq8]] (byte-parity asserted in QuantizeSpec). */
+case class FloatVecSq8Bytes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"float_vec_sq8_bytes needs an array<float> argument, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def prettyName: String = "float_vec_sq8_bytes"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val ab = math.abs(x.getFloat(i).toDouble)
+      if (ab > mx) mx = ab
+      i += 1
+    }
+    val s = math.max(mx, 1e-30) / 127.0
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      out(i) = math.floor(x.getFloat(i).toDouble / s + 0.5).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val mx = ctx.freshName("mx")
+      val s = ctx.freshName("s")
+      val arr = ctx.freshName("arr")
+      val ab = ctx.freshName("ab")
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = Double.NEGATIVE_INFINITY;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $ab = java.lang.Math.abs((double) $a.getFloat($i));
+         |  if ($ab > $mx) $mx = $ab;
+         |}
+         |double $s = java.lang.Math.max($mx, 1e-30) / 127.0;
+         |byte[] $arr = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $arr[$i] = (byte) java.lang.Math.floor((double) $a.getFloat($i) / $s + 0.5);
+         |}
+         |${ev.value} = $arr;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Unpack BINARY SQ8 codes back to `array<long>` (signed bytes widened) —
+  * the read-side bridge from the at-rest layout to the `array<long>`
+  * scoring tier ([[LongVecDot]]). */
+case class Sq8BytesToLongs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"sq8_bytes_to_longs needs a binary argument, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "sq8_bytes_to_longs"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val out = new Array[Long](x.length)
+    var i = 0
+    while (i < x.length) { out(i) = x(i).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = new long[$a.length];
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  $arr[$i] = (long) $a[$i];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Integer dot product DIRECTLY over two BINARY SQ8 code columns (signed
+  * bytes, widened to long) — quantized scoring straight off the at-rest
+  * layout, no array materialization per row. Null on length mismatch,
+  * like the other dot expressions. */
+case class BytesVecDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bytes_vec_dot needs two binary arguments, got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "bytes_vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) return null
+    var acc = 0L
+    var i = 0
+    while (i < x.length) { acc += x(i).toLong * y(i).toLong; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    $acc += (long) $a[$i] * (long) $b[$i];
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All `bands` SRP-LSH band keys of an `array<float>` embedding in ONE
   * expression evaluation: key b packs `rowsPerBand` sign bits of the
   * deterministic hyperplane projections for planes
@@ -394,4 +551,16 @@ object VecExprs {
     * pass ([[FloatVecSrpKeys]]) — bit-identical to the kernel/HOF twins. */
   def srpKeys(a: Column, bands: Int, rowsPerBand: Int): Column =
     Bridge.column(FloatVecSrpKeys(Bridge.expression(a), bands, rowsPerBand))
+
+  /** SQ8 codes packed as binary — one byte per dim ([[FloatVecSq8Bytes]]). */
+  def sq8Bytes(a: Column): Column =
+    Bridge.column(FloatVecSq8Bytes(Bridge.expression(a)))
+
+  /** binary SQ8 codes → `array<long>` ([[Sq8BytesToLongs]]). */
+  def sq8BytesToLongs(a: Column): Column =
+    Bridge.column(Sq8BytesToLongs(Bridge.expression(a)))
+
+  /** integer dot directly over binary SQ8 code columns ([[BytesVecDot]]). */
+  def dotB(a: Column, b: Column): Column =
+    Bridge.column(BytesVecDot(Bridge.expression(a), Bridge.expression(b)))
 }

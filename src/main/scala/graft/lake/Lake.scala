@@ -166,4 +166,32 @@ object Lake {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** SQ8-quantized AT-REST layout for an embedding table: codes packed as
+    * BINARY (one signed byte per dimension — the 4× size win is physical
+    * parquet bytes, not an encoding artifact) plus the per-vector float
+    * scale, which is all reconstruction needs (v̂_i = code_i · scale).
+    * Quantized cosine runs DIRECTLY off this layout
+    * ([[graft.ops.Quantize.annSq8FromCodes]]) — scales cancel — so the
+    * ANN scan/shuffle moves a quarter of the bytes; end-to-end scan+score
+    * numbers vs the float table are in BENCH/BASELINE.md. */
+  def writeQuantizedEmbeddings(emb: DataFrame, idCol: String, vecCol: String,
+                               path: String,
+                               extraCols: Seq[String] = Seq.empty): Unit = {
+    val cols = Seq(col(idCol),
+      graft.ops.Quantize.sq8Bytes(col(vecCol)).as("codes"),
+      graft.ops.Quantize.sq8Scale(col(vecCol)).cast("float").as("scale")) ++
+      extraCols.map(col)
+    emb.select(cols: _*).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read the quantized layout back: (idCol, codes binary, scale float,
+    * extras…) plus a reconstructed `vec_approx` array<double> column
+    * (|v − v̂| ≤ scale/2 per dimension, the SQ8 distortion bound). */
+  def readQuantizedEmbeddings(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.withColumn("vec_approx",
+      transform(graft.ops.Quantize.bytesToCodes(col("codes")),
+        c => c.cast("double") * col("scale").cast("double")))
+  }
 }

@@ -107,29 +107,12 @@ object Quantize {
     val spark = emb.sparkSession
     val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     // coarse quantizer: identical draw + exact-cosine ranking to annIvf so
-    // the two indexes share list structure (and the q41 oracle technique)
-    val centroids = e
-      .withColumn("mix", pmod(col("id") * lit(2654435761L), lit(2147483647L)))
-      .orderBy("mix", "id").limit(nLists)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .zipWithIndex.map { case ((_, v), i) =>
-        var s = 0.0; var d = 0
-        while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
-        (i, v, math.sqrt(s))
-      }
-    val bcC = spark.sparkContext.broadcast(centroids)
+    // the two indexes share list structure (and the q41 oracle technique);
+    // [[Similarity.ivfCentroids]] also offers k-means refinement there
+    val bcC = spark.sparkContext.broadcast(Similarity.ivfCentroids(e, nLists))
 
-    def nearestLists(v: Array[Float], m: Int): Array[Int] = {
-      var s = 0.0; var d = 0
-      while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
-      val n = math.sqrt(s)
-      bcC.value.map { case (li, cv, cn) =>
-        var dot = 0.0; var i = 0
-        while (i < v.length) { dot += v(i).toDouble * cv(i).toDouble; i += 1 }
-        (-(dot / (n * cn)), li) // cosine desc
-      }.sorted.take(m).map(_._2)
-    }
+    def nearestLists(v: Array[Float], m: Int): Array[Int] =
+      Similarity.nearestIn(bcC.value, v, m)
     // quantize ONCE, inside the same partition-local pass as the list
     // assignment (the JVM kernel is the native FloatVecSq8 expression's
     // twin — identical IEEE-754 op sequence, asserted in QuantizeSpec);
@@ -161,6 +144,42 @@ object Quantize {
       .where(col("qid") =!= col("pid"))
       .select(col("qid"), col("pid"), qdot.as("qdot"),
         (col("qnn") * col("pn")).as("qn2"))
+      .withColumn("cos_q", col("qdot").cast("double") / sqrt(col("qn2").cast("double")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_q").desc, col("pid").asc)
+    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("qid", "rnk", "pid", "qdot", "cos_q")
+  }
+
+  /** SQ8 codes packed as BINARY — one signed byte per dimension, the
+    * AT-REST layout ([[graft.lake.Lake.writeQuantizedEmbeddings]]): a
+    * parquet embedding table stores d bytes per vector instead of 4d. */
+  def sq8Bytes(vec: Column): Column = graft.functions.VecExprs.sq8Bytes(vec)
+
+  /** binary codes → `array<long>` (read-side bridge to the scoring tier) */
+  def bytesToCodes(codes: Column): Column =
+    graft.functions.VecExprs.sq8BytesToLongs(codes)
+
+  /** Quantized brute-force cosine top-k DIRECTLY over the at-rest layout
+    * (id, binary codes [, block]): same join/rank shape as [[annSq8]],
+    * scored with the native [[graft.functions.BytesVecDot]] over the
+    * packed bytes — no float corpus read, no per-row array
+    * materialization. Bit-identical to [[annSq8]] on the same vectors
+    * (same integer dots, same divide+sqrt — asserted in QuantizeSpec). */
+  def annSq8FromCodes(quant: DataFrame, idCol: String, codesCol: String, k: Int,
+                      blockCol: Option[String] = None): DataFrame = {
+    import graft.functions.VecExprs
+    val cols = Seq(col(idCol).cast("long").as("id"),
+      col(codesCol).as("c")) ++ blockCol.map(c => col(c).as("blk"))
+    val e = quant.select(cols: _*)
+      .withColumn("qn", VecExprs.dotB(col("c"), col("c")))
+    val joinCond = blockCol match {
+      case Some(_) => col("a.blk") === col("b.blk") && col("a.id") =!= col("b.id")
+      case None => col("a.id") =!= col("b.id")
+    }
+    val qdot = VecExprs.dotB(col("a.c"), col("b.c"))
+    val pairs = e.as("a").join(e.as("b"), joinCond)
+      .select(col("a.id").as("qid"), col("b.id").as("pid"), qdot.as("qdot"),
+        (col("a.qn") * col("b.qn")).as("qn2"))
       .withColumn("cos_q", col("qdot").cast("double") / sqrt(col("qn2").cast("double")))
     val w = Window.partitionBy("qid").orderBy(col("cos_q").desc, col("pid").asc)
     pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)

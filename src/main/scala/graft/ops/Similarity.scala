@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * are bit-identical, spec-asserted — and the shape the DuckDB oracle
   * replays via `list_reduce`). UDF-free, deterministic either way.
   */
-object Similarity {
+object Similarity extends Serializable {
 
   /** Left-to-right dot product of two array columns (cast to double). */
   def dot(a: Column, b: Column): Column =
@@ -195,32 +195,89 @@ object Similarity {
     * list into (list, salt) sub-keys — candidate-set-preserving, output
     * identical (asserted in the spec). Recall measured vs brute force in
     * the spec. */
-  def annIvf(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-             nLists: Int, nProbe: Int, maxListSize: Int = Int.MaxValue): DataFrame = {
-    val spark = emb.sparkSession
-    val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val centroids = e
+  /** Nearest `m` centroid list ids by cosine (desc, list asc tie-break). */
+  private[ops] def nearestIn(cents: Array[(Int, Array[Float], Double)],
+                             v: Array[Float], m: Int): Array[Int] = {
+    var s = 0.0; var d = 0
+    while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
+    val n = math.sqrt(s)
+    cents.map { case (li, cv, cn) =>
+      var dot = 0.0; var i = 0
+      while (i < v.length) { dot += v(i).toDouble * cv(i).toDouble; i += 1 }
+      (-(dot / (n * cn)), li) // cosine desc
+    }.sorted.take(m).map(_._2)
+  }
+
+  /** fixed-point scale for the deterministic k-means reduction */
+  private val KmFx = 1048576.0 // 2^20
+
+  /** IVF coarse-quantizer centroids: the deterministic hash-strided seed
+    * draw, optionally refined by `kmeansIters` distributed Lloyd rounds.
+    * Each round assigns every vector to its nearest centroid and replaces
+    * the centroid with its list's MEAN — computed over 2^20 FIXED-POINT
+    * longs, so the distributed sum is ORDER-INDEPENDENT and the refined
+    * centroids are exactly reproducible across runs/partitionings (a
+    * float sum would drift in the low bits with reduction order). One
+    * hash-agg per round keyed by (list, dim) — map-side partials shrink
+    * the shuffle to nLists·dim rows per task; empty lists keep their
+    * seed. Real IVF training, the FAISS `train()` analog. */
+  def ivfCentroids(e: DataFrame, nLists: Int,
+                   kmeansIters: Int = 0): Array[(Int, Array[Float], Double)] = {
+    val spark = e.sparkSession
+    def withNorm(i: Int, v: Array[Float]): (Int, Array[Float], Double) = {
+      var s = 0.0; var d = 0
+      while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
+      (i, v, math.sqrt(s))
+    }
+    var cents = e
       .withColumn("mix", pmod(col("id") * lit(2654435761L), lit(2147483647L)))
       .orderBy("mix", "id").limit(nLists)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .zipWithIndex.map { case ((_, v), i) =>
-        var s = 0.0; var d = 0
-        while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
-        (i, v, math.sqrt(s))
+      .map(r => r.getSeq[Float](1).toArray)
+      .zipWithIndex.map { case (v, i) => withNorm(i, v) }
+    var iter = 0
+    while (iter < kmeansIters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("list", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("dim", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("fx", org.apache.spark.sql.types.LongType)))
+      implicit val enc = org.apache.spark.sql.Encoders.row(rowSchema)
+      val sums = e.mapPartitions { it =>
+        it.flatMap { r =>
+          val v = r.getSeq[Float](1).toArray
+          val li = nearestIn(bc.value, v, 1).head
+          v.indices.iterator.map(d => Row(li, d, math.round(v(d).toDouble * KmFx)))
+        }
+      }.groupBy("list", "dim")
+        .agg(sum("fx").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byList = sums.groupBy(_.getInt(0))
+      cents = cents.map { case (li, oldV, oldN) =>
+        byList.get(li) match {
+          case Some(rows) =>
+            val nv = new Array[Float](oldV.length)
+            rows.foreach { r =>
+              nv(r.getInt(1)) = ((r.getLong(2).toDouble / r.getLong(3)) / KmFx).toFloat
+            }
+            withNorm(li, nv)
+          case None => (li, oldV, oldN)
+        }
       }
-    val bcC = spark.sparkContext.broadcast(centroids)
-
-    def nearestLists(v: Array[Float], m: Int): Array[Int] = {
-      var s = 0.0; var d = 0
-      while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
-      val n = math.sqrt(s)
-      bcC.value.map { case (li, cv, cn) =>
-        var dot = 0.0; var i = 0
-        while (i < v.length) { dot += v(i).toDouble * cv(i).toDouble; i += 1 }
-        (-(dot / (n * cn)), li) // cosine desc
-      }.sorted.take(m).map(_._2)
+      iter += 1
     }
+    cents
+  }
+
+  def annIvf(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+             nLists: Int, nProbe: Int, maxListSize: Int = Int.MaxValue,
+             kmeansIters: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val bcC = spark.sparkContext.broadcast(ivfCentroids(e, nLists, kmeansIters))
+
+    def nearestLists(v: Array[Float], m: Int): Array[Int] =
+      nearestIn(bcC.value, v, m)
 
     val listSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("list", org.apache.spark.sql.types.IntegerType),

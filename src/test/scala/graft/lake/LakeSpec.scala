@@ -78,4 +78,49 @@ class LakeSpec extends SparkSpec {
     assert(lin.where(col("jobId") === "j" && col("stage") === "s")
       .agg(sum("rows")).head.getLong(0) == 100L)
   }
+
+  test("quantized embedding layout: round trip, distortion bound, 4x-smaller files") {
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = (0 until 2000).map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        (math.sin(i * 64 + d) * (1 + (i % 7))).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("qlake").toString
+    val qPath = s"$dir/quant"
+    val fPath = s"$dir/float"
+    Lake.writeQuantizedEmbeddings(emb, "vec_id", "embedding", qPath)
+    emb.write.parquet(fPath)
+    val back = Lake.readQuantizedEmbeddings(spark, qPath)
+    back.count() shouldBe 2000L
+    // reconstruction error within the SQ8 bound (float-rounded scale eps)
+    val joined = back.join(emb, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("vec_approx"), col("scale"))
+      .collect()
+    joined.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val va = r.getSeq[Double](2)
+      val s = r.getFloat(3).toDouble
+      v.zip(va).foreach { case (x, y) =>
+        assert(math.abs(x.toDouble - y) <= s / 2 + 1e-6 * s)
+      }
+    }
+    // codes round-trip bit-exactly through the binary layout
+    val codesOk = back
+      .join(emb.select(col("vec_id"),
+        graft.ops.Quantize.sq8Codes(col("embedding")).as("expect")), "vec_id")
+      .where(!(graft.ops.Quantize.bytesToCodes(col("codes")) === col("expect")))
+      .count()
+    codesOk shouldBe 0L
+    // the at-rest win is physical: quantized files are ~4x smaller
+    def bytesOf(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val (qb, fb) = (bytesOf(qPath), bytesOf(fPath))
+    assert(qb * 3 < fb, s"quantized $qb bytes vs float $fb — expected <1/3")
+    // quantized scoring runs directly off the read-back layout
+    val top = graft.ops.Quantize.annSq8FromCodes(back, "vec_id", "codes", 1)
+    top.count() shouldBe 2000L
+  }
 }

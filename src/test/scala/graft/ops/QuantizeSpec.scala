@@ -101,6 +101,48 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.6, s"mean IVF-SQ8 recall@3 vs brute-force SQ8 = $recall")
   }
 
+  test("binary at-rest codes: byte parity, round trip, and dot parity, both modes") {
+    import graft.functions.VecExprs
+    def check(): Unit = {
+      val rows = emb.select(
+          Quantize.sq8Codes(col("embedding")).as("c"),
+          Quantize.sq8Bytes(col("embedding")).as("b"),
+          Quantize.bytesToCodes(Quantize.sq8Bytes(col("embedding"))).as("rt"))
+        .collect()
+      rows.foreach { r =>
+        val codes = r.getSeq[Long](0)
+        val bytes = r.getAs[Array[Byte]](1)
+        bytes.toSeq shouldBe codes.map(_.toByte)
+        r.getSeq[Long](2) shouldBe codes
+      }
+      // dotB over packed bytes == dotL over long codes
+      val a = emb.select(col("vec_id"),
+        Quantize.sq8Codes(col("embedding")).as("c"),
+        Quantize.sq8Bytes(col("embedding")).as("b"))
+      val d = a.select(
+          VecExprs.dotL(col("c"), col("c")).as("dl"),
+          VecExprs.dotB(col("b"), col("b")).as("db"))
+        .collect()
+      d.foreach(r => r.getLong(0) shouldBe r.getLong(1))
+    }
+    check()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("annSq8FromCodes over the at-rest layout is bit-identical to annSq8") {
+    val viaFloat = Quantize.annSq8(emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), java.lang.Double.doubleToLongBits(r.getDouble(4)))).toMap
+    val quant = emb.select(col("vec_id"),
+      Quantize.sq8Bytes(col("embedding")).as("codes"))
+    val viaBytes = Quantize.annSq8FromCodes(quant, "vec_id", "codes", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), java.lang.Double.doubleToLongBits(r.getDouble(4)))).toMap
+    viaBytes shouldBe viaFloat
+  }
+
   test("quantized top-3 has high recall against exact cosine") {
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 3)
       .collect().groupBy(_.getLong(0))

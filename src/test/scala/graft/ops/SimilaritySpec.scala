@@ -104,6 +104,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.map(_.size).sum <= 200 * 3)
   }
 
+  test("k-means-refined IVF centroids: deterministic, recall >= raw seed draw") {
+    val spark2 = spark
+    import spark2.implicits._
+    // clustered corpus with one dominant cluster: the hash-strided seed
+    // draw lands mostly inside it, under-covering the small clusters —
+    // the shape where Lloyd refinement actually moves centroids
+    val data = (0 until 300).map { i =>
+      val c = if (i % 10 < 7) 0 else 1 + i % 5
+      val v = Array.tabulate(16)(d =>
+        (math.cos(c * 16 + d) * 3.0 + math.sin(i * 16 + d) * 0.4).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(data, "vec_id", "embedding", 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    def recall(iters: Int): Double = {
+      val got = Similarity.annIvf(data, "vec_id", "embedding", 3,
+        nLists = 12, nProbe = 2, kmeansIters = iters)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val rs = exact.toSeq.map { case (q, ids) =>
+        got.get(q).map(g => ids.count(g.contains).toDouble / ids.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val (r0, r2) = (recall(0), recall(2))
+    assert(r2 >= r0, s"refined recall $r2 < seed recall $r0")
+    assert(r2 >= 0.8, s"refined recall $r2")
+    // fixed-point reduction → exactly reproducible centroids across runs
+    val e = data.select(col("vec_id").cast("long").as("id"),
+      col("embedding").as("v"))
+    val c1 = Similarity.ivfCentroids(e, 12, kmeansIters = 2).map(_._2.toSeq)
+    val c2 = Similarity.ivfCentroids(e.repartition(7), 12, kmeansIters = 2).map(_._2.toSeq)
+    c1 shouldBe c2
+  }
+
   test("bandKeyKernel is bit-identical to the column-expression band key") {
     val fromCol = emb.select(col("vec_id"),
         explode(sequence(lit(0), lit(3))).as("band"))
