@@ -22,6 +22,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ScalingBench {
 
+  /** locale-proof formatting (the f-interpolator uses the default locale;
+    * comma-decimal locales would corrupt the parsed JSON) */
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   /** SPARK_GRAFT_MASTER overrides the master — e.g.
     * `local-cluster[4,8,8192]` for multi-JVM executor emulation where each
     * "node" owns its own heap/GC/JIT (the closest this single VM gets to a
@@ -70,7 +75,67 @@ object ScalingBench {
       val sec = (System.nanoTime() - t0) / 1e9
       val rounds = spark.conf.get("graft.cc.rounds", "-1")
       val ok = badLabels == 0 && nComp == nChains
-      println(f"""{"mode":"ccbench","cores":$cores,"edges":${nChains * (chainLen - 1)},"chains":$nChains,"rounds":$rounds,"sec":$sec%.3f,"components":$nComp,"bad_labels":$badLabels,"ok":$ok}""")
+      println(s"""{"mode":"ccbench","cores":$cores,"edges":${nChains * (chainLen - 1)},"chains":$nChains,"rounds":$rounds,"sec":${fmt(sec)},"components":$nComp,"bad_labels":$badLabels,"ok":$ok}""")
+      spark.stop()
+
+    // Quantized-vs-float AT-REST ablation (BENCH/BASELINE.md): the same
+    // blocked brute-force cosine top-1 job reading (a) the float32
+    // embedding table with the native float dot and (b) the SQ8 lake
+    // layout (binary codes, one byte/dim) with the native byte dot.
+    // Reports at-rest bytes and best-of-2 seconds per arm — the 4× size
+    // win and the scan/score effect, end to end from parquet.
+    case "quantbench" =>
+      val cores = args(1).toInt
+      val n = if (args.length > 2) args(2).toLong else 100000L
+      val dim = if (args.length > 3) args(3).toInt else 128
+      // block size sets the scan/compute balance: top-1 within a block is
+      // O(rows²·dim) compute over O(rows·dim) scanned bytes, so huge blocks
+      // drown the at-rest effect in dot products; ~256 rows/block keeps the
+      // job scan-bound (the operating point where the layout matters)
+      val rowsPerBlk = if (args.length > 4) args(4).toLong else 256L
+      val nBlocks = math.max(1L, n / rowsPerBlk)
+      val spark = session(cores)
+      spark.sparkContext.setLogLevel("WARN")
+      spark.conf.set("graft.similarity.broadcastBytes", "1") // distributed arms only
+      import org.apache.spark.sql.functions._
+      val base = s"target/benchdata/quant-$n-$dim-$rowsPerBlk"
+      val (fDir, qDir) = (s"$base-float", s"$base-sq8")
+      if (!new java.io.File(qDir).isDirectory) {
+        // hash-noisy components so neither the float table nor the codes
+        // compress below their information content (a smooth corpus would
+        // flatter the at-rest ratio — real embeddings are noise-like)
+        val emb = spark.range(0, n, 1, cores).select(
+          col("id"),
+          transform(sequence(lit(0), lit(dim - 1)), { d =>
+            // two-stage different-modulus mix + xor-shift (a single LCG
+            // leaves arithmetic strides the compressor finds; ANSI mode
+            // forbids overflowing longs, so reduce between stages)
+            val h1 = pmod((col("id") * dim + d) * lit(2654435761L), lit(2147483647L))
+            val h2 = h1.bitwiseXOR(shiftright(h1, 13))
+            // final modulus ~2^24: enough distinct floats that parquet
+            // cannot dictionary-encode the column (a small modulus lets the
+            // float arm compress to ~2 bytes/value and fakes the ratio)
+            val h3 = pmod(h2 * lit(48271L) + col("id"), lit(16777213L))
+            ((h3.cast("double") / 8388606.5) - 1.0).cast("float")
+          }).as("v"),
+          pmod(col("id"), lit(nBlocks)).as("blk"))
+        emb.write.mode("overwrite").parquet(fDir)
+        graft.lake.Lake.writeQuantizedEmbeddings(
+          spark.read.parquet(fDir), "id", "v", qDir, extraCols = Seq("blk"))
+      }
+      def dirBytes(p: String): Long = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      def floatArm(): Long = graft.ops.Similarity.cosineTopK(
+        spark.read.parquet(fDir), "id", "v", 1, Some("blk")).count()
+      def quantArm(): Long = graft.ops.Quantize.annSq8FromCodes(
+        spark.read.parquet(qDir), "id", "codes", 1, Some("blk")).count()
+      floatArm(); quantArm() // warmup: codegen + page cache
+      def best(job: () => Long): Double = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
+      }.min
+      val (fSec, qSec) = (best(() => floatArm()), best(() => quantArm()))
+      val (fB, qB) = (dirBytes(fDir), dirBytes(qDir))
+      println(s"""{"mode":"quantbench","cores":$cores,"n":$n,"dim":$dim,"rows_per_block":$rowsPerBlk,"float_bytes":$fB,"sq8_bytes":$qB,"bytes_ratio":${fmt(fB.toDouble / qB)},"float_sec":${fmt(fSec)},"sq8_sec":${fmt(qSec)},"speedup":${fmt(fSec / qSec)}}""")
       spark.stop()
 
     case "bench" =>
@@ -86,7 +151,7 @@ object ScalingBench {
         (System.nanoTime() - t0) / 1e9
       }
       val best = secs.min
-      println(f"""{"mode":"bench","cores":$cores,"variant":"$variant","rows":$rows,"sec":$best%.3f,"rows_per_sec":${(rows / best).toLong}}""")
+      println(s"""{"mode":"bench","cores":$cores,"variant":"$variant","rows":$rows,"sec":${fmt(best)},"rows_per_sec":${(rows / best).toLong}}""")
       spark.stop()
   }
 }

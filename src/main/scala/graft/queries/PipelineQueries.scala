@@ -122,9 +122,11 @@ object PipelineQueries {
     * counts) → corpus paragraph dedup over the REDACTED text →
     * deterministic train/val split → final corpus row. */
   private def finishCorpus(survivors: DataFrame): DataFrame = {
+    // consumed twice (paragraph-dedup input + final projection)
     val redacted = survivors
       .withColumn("redacted", TextAnalysis.redactPii(col("text")))
       .withColumn("n_email", TextAnalysis.piiCounts(col("text")).head._2)
+      .persist()
     val paraDone = Dedup.dedupParagraphs(
       redacted.select(col("pid"), col("redacted")), "pid", "redacted", " | ")
       .withColumnRenamed("id", "pid")
@@ -138,7 +140,10 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_crawl_corpus" -> ((s, _) => {
-      val exactKept = crawlExactKept(s)
+      // the exact-kept crawl is consumed by several downstream actions
+      // (dedup key build, keeper join, redaction); persist the ~150-row
+      // frame so the WARC-parse chain runs once, not per action
+      val exactKept = crawlExactKept(s).persist()
       // 6. near-dup collapse: digit-normalized text key
       val nearK = Dedup.exact(
         exactKept.withColumn("norm", regexp_replace(col("text"), "[0-9]", "")),
@@ -157,7 +162,10 @@ object PipelineQueries {
     // docs sharing intro/body word choices but differing in digits/email
     // land in one component only when enough band keys collide.
     "q67_crawl_corpus_lsh" -> ((s, _) => {
-      val exactKept = crawlExactKept(s)
+      // persist: the LSH arm walks this frame many times (vocab, token
+      // vids, star edges, component count, keeper join, redaction) — the
+      // WARC-parse chain must not re-execute per action
+      val exactKept = crawlExactKept(s).persist()
       // 6'. MinHash-LSH near-dup over the surviving docs' text
       val voc = Dedup.vocab(exactKept, "text")
       val tv = Dedup.docTokenVids(exactKept, "pid", "text", voc)
