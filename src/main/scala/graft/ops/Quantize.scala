@@ -150,6 +150,37 @@ object Quantize {
       .select("qid", "rnk", "pid", "qdot", "cos_q")
   }
 
+  /** IVF-SQ8 with exact rerank (FAISS's `IndexRefineFlat` over IVF-SQ8):
+    * the quantized index proposes each query's top-`rerankK` candidates
+    * (integer scoring over the 4×-smaller codes — [[annIvfSq8]]
+    * unchanged), then ONLY those ≤ rerankK·n pairs are re-scored with
+    * exact float cosine ([[Similarity.scorePairs]] — auto broadcast vs
+    * join from plan stats) and re-ranked to the final top-`k`. This is
+    * the standard accuracy knob: quantization error can swap
+    * nearly-tied neighbours in the quantized ranking; the refine step
+    * restores the EXACT order within the candidate set, so output
+    * quality is "exact cosine, restricted to IVF-SQ8 candidates" at the
+    * cost of one float read per surviving pair instead of per corpus
+    * pair. rerankK ≥ k (a few × k in practice).
+    *
+    * At scale the rerank adds two equi-joins keyed by vector id
+    * (candidates × corpus per endpoint) — shuffle volume is the
+    * candidate set, not the corpus; the quantized stage still never
+    * touches floats. Output (qid, rnk, pid, cos) like
+    * [[Similarity.annIvf]]; gated as q69 with a full-pipeline oracle
+    * (the q63 oracle ranked to rerankK, re-scored by the q41 exact-fold
+    * arithmetic). */
+  def annIvfSq8Rerank(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                      nLists: Int, nProbe: Int, rerankK: Int): DataFrame = {
+    require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
+    val cand = annIvfSq8(emb, idCol, vecCol, rerankK, nLists, nProbe)
+      .select("qid", "pid")
+    val scored = Similarity.scorePairs(cand, emb, idCol, vecCol)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("qid", "rnk", "pid", "cos")
+  }
+
   /** SQ8 codes packed as BINARY — one signed byte per dimension, the
     * AT-REST layout ([[graft.lake.Lake.writeQuantizedEmbeddings]]): a
     * parquet embedding table stores d bytes per vector instead of 4d. */

@@ -56,6 +56,17 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // IVF-SQ8 + exact rerank (FAISS refine): the quantized index proposes
+    // top-4 candidates per query, exact float cosine re-ranks them to the
+    // final top-2 — quantization error can swap near-ties, the refine
+    // restores exact order within the candidate set. The oracle replays
+    // the whole q63 pipeline ranked to 4, then the q41 exact-fold rerank.
+    "q69_ann_ivfsq8_rerank" -> ((s, dir) => {
+      graft.ops.Quantize.annIvfSq8Rerank(t(s, dir, "embeddings"), "vec_id", "embedding", 2,
+          nLists = 16, nProbe = 3, rerankK = 4)
+        .orderBy("qid", "rnk")
+    }),
+
     // the ANN scale path: banded multi-table SRP-LSH candidates (equi-join
     // on (band, bandkey) — never all-pairs), exact cosine re-rank of
     // candidates only. The oracle runs the identical algorithm in DuckDB.
@@ -122,6 +133,45 @@ object SimilarityQueries {
     s"SELECT vec_id, $b AS band, ${bandKeySql(b)} AS bkey FROM embeddings"
   }.mkString(" UNION ALL ")
 
+  /** Shared q63/q69 oracle prefix: IVF centroid draw → exact-cosine list
+    * assignment → SQ8 quantization → list equi-join → integer-scored
+    * quantized pairs (qid, pid, qdot, qn2). */
+  private val ivfSq8PairsSql =
+    s"""$eSql,
+       c AS (SELECT vec_id, embedding, n,
+           CAST(row_number() OVER (ORDER BY (vec_id*2654435761) % 2147483647, vec_id) - 1
+             AS INTEGER) AS li
+         FROM (SELECT * FROM e
+               ORDER BY (vec_id*2654435761) % 2147483647, vec_id LIMIT 16)),
+       sims AS (SELECT v.vec_id, c.li,
+           list_reduce(list_transform(list_zip(v.embedding, c.embedding),
+             l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x,y) -> x + y)
+             / (v.n * c.n) AS cos
+         FROM e v CROSS JOIN c),
+       ranked AS (SELECT vec_id, li,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, li ASC) AS rn
+         FROM sims),
+       assign AS (SELECT vec_id AS pid, li AS list FROM ranked WHERE rn = 1),
+       probes AS (SELECT vec_id AS qid, li AS list FROM ranked WHERE rn <= 3),
+       sc AS (SELECT vec_id,
+           greatest(list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s, embedding
+         FROM embeddings),
+       ccd AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) AS cd
+         FROM sc),
+       nn AS (SELECT vec_id, cd,
+           CAST(list_sum(list_transform(cd, x -> x * x)) AS BIGINT) AS qn
+         FROM ccd),
+       cand AS (SELECT p.qid, a.pid FROM probes p JOIN assign a
+         ON a.list = p.list AND a.pid <> p.qid),
+       pairs AS (SELECT cand.qid, cand.pid,
+           CAST(list_sum(list_transform(list_zip(ca.cd, cb.cd),
+             l -> l[1] * l[2])) AS BIGINT) AS qdot,
+           ca.qn * cb.qn AS qn2
+         FROM cand JOIN nn ca ON ca.vec_id = cand.qid
+                   JOIN nn cb ON cb.vec_id = cand.pid)"""
+
   val oracleSql: Map[String, String] = Map(
     "q62_ann_sq8" ->
       s"""WITH q AS (SELECT vec_id, label, embedding,
@@ -149,40 +199,7 @@ object SimilarityQueries {
            FROM pairs)
          WHERE rn <= 2 ORDER BY qid, rnk""",
     "q63_ann_ivfsq8" ->
-      s"""WITH $eSql,
-         c AS (SELECT vec_id, embedding, n,
-             CAST(row_number() OVER (ORDER BY (vec_id*2654435761) % 2147483647, vec_id) - 1
-               AS INTEGER) AS li
-           FROM (SELECT * FROM e
-                 ORDER BY (vec_id*2654435761) % 2147483647, vec_id LIMIT 16)),
-         sims AS (SELECT v.vec_id, c.li,
-             list_reduce(list_transform(list_zip(v.embedding, c.embedding),
-               l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x,y) -> x + y)
-               / (v.n * c.n) AS cos
-           FROM e v CROSS JOIN c),
-         ranked AS (SELECT vec_id, li,
-             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, li ASC) AS rn
-           FROM sims),
-         assign AS (SELECT vec_id AS pid, li AS list FROM ranked WHERE rn = 1),
-         probes AS (SELECT vec_id AS qid, li AS list FROM ranked WHERE rn <= 3),
-         sc AS (SELECT vec_id,
-             greatest(list_max(list_transform(embedding,
-               x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s, embedding
-           FROM embeddings),
-         ccd AS (SELECT vec_id, list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)) AS cd
-           FROM sc),
-         nn AS (SELECT vec_id, cd,
-             CAST(list_sum(list_transform(cd, x -> x * x)) AS BIGINT) AS qn
-           FROM ccd),
-         cand AS (SELECT p.qid, a.pid FROM probes p JOIN assign a
-           ON a.list = p.list AND a.pid <> p.qid),
-         pairs AS (SELECT cand.qid, cand.pid,
-             CAST(list_sum(list_transform(list_zip(ca.cd, cb.cd),
-               l -> l[1] * l[2])) AS BIGINT) AS qdot,
-             ca.qn * cb.qn AS qn2
-           FROM cand JOIN nn ca ON ca.vec_id = cand.qid
-                     JOIN nn cb ON cb.vec_id = cand.pid)
+      s"""WITH $ivfSq8PairsSql
          SELECT qid, CAST(rn AS INTEGER) AS rnk, pid, qdot,
            CAST(qdot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE)) AS cos_q
          FROM (SELECT qid, pid, qdot, qn2,
@@ -190,6 +207,23 @@ object SimilarityQueries {
                ORDER BY CAST(qdot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE)) DESC,
                         pid ASC) AS rn
            FROM pairs)
+         WHERE rn <= 2 ORDER BY qid, rnk""",
+    "q69_ann_ivfsq8_rerank" ->
+      s"""WITH $ivfSq8PairsSql,
+         qtop AS (SELECT qid, pid FROM (SELECT qid, pid,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY CAST(qdot AS DOUBLE) / sqrt(CAST(qn2 AS DOUBLE)) DESC,
+                        pid ASC) AS rn
+           FROM pairs) WHERE rn <= 4),
+         rescored AS (SELECT q.qid, q.pid,
+             list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+               l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x,y) -> x + y)
+               / (ea.n * eb.n) AS cos
+           FROM qtop q JOIN e ea ON ea.vec_id = q.qid JOIN e eb ON eb.vec_id = q.pid)
+         SELECT qid, CAST(rn AS INTEGER) AS rnk, pid, cos FROM
+           (SELECT qid, pid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, pid ASC) AS rn
+            FROM rescored)
          WHERE rn <= 2 ORDER BY qid, rnk""",
     "q30_ann_cosine" ->
       s"""WITH $eSql,

@@ -156,4 +156,45 @@ class QuantizeSpec extends SparkSpec {
     val recall = recalls.sum / recalls.size
     assert(recall >= 0.9, s"mean quantized recall@3 = $recall")
   }
+
+  test("IVF-SQ8 rerank = exact cosine order restricted to the quantized candidates") {
+    val (k, rerankK, nLists, nProbe) = (2, 4, 16, 4)
+    // the candidate set the refine step sees: the quantized index's top-rerankK
+    val cands = Quantize.annIvfSq8(emb, "vec_id", "embedding", rerankK, nLists, nProbe)
+      .select("qid", "pid")
+    // expected = exact cosine over exactly those pairs (same scorePairs fold
+    // the production path uses), ranked (cos desc, pid asc), top-k
+    val expected = Similarity.scorePairs(cands, emb, "vec_id", "embedding")
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(k)
+          .map(r => (r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2))))
+          .toSeq
+      }
+    val got = Quantize.annIvfSq8Rerank(emb, "vec_id", "embedding", k,
+        nLists, nProbe, rerankK)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1))
+          .map(r => (r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(3))))
+          .toSeq
+      }
+    got shouldBe expected
+
+    // refine never hurts: recall@k vs exact cosine >= the unreranked index's
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", k)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    def recallOf(top: Map[Long, Set[Long]]): Double = {
+      val rs = exact.toSeq.map { case (q, ids) =>
+        top.get(q).map(g => ids.count(g.contains).toDouble / ids.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val unreranked = Quantize.annIvfSq8(emb, "vec_id", "embedding", k, nLists, nProbe)
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val reranked = got.map { case (q, rs) => q -> rs.map(_._1).toSet }
+    assert(recallOf(reranked) >= recallOf(unreranked),
+      s"rerank recall ${recallOf(reranked)} < unreranked ${recallOf(unreranked)}")
+  }
 }
