@@ -181,6 +181,150 @@ object Quantize {
       .select("qid", "rnk", "pid", "cos")
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (the FAISS "PQ" family) — the compression tier
+  // BEYOND SQ8: the vector is split into m subspaces and each subspace
+  // is vector-quantized against its own ksub-entry codebook, so a
+  // D-float vector becomes m small codes (log2(ksub) bits each) —
+  // 4D bytes → m bytes at ksub ≤ 256 (32× at D=64, m=8). Search is
+  // ADC (asymmetric distance computation): the QUERY stays float, one
+  // m×ksub lookup table of exact subspace L2 distances is built per
+  // query, and each corpus vector's distance is m table lookups + a
+  // sum — ||q − ŷ||² for the PQ reconstruction ŷ, never touching the
+  // corpus floats. At 768 dims this is what large embedding stores
+  // actually run (SQ8's 4× stops paying long before PQ's 32-64× does).
+  // ------------------------------------------------------------------
+
+  /** PQ codebooks from the deterministic hash-strided draw (the SAME
+    * seed selection as [[Similarity.ivfCentroids]], so the DuckDB
+    * oracle replays it with the q41/q63 technique): the `ksub` vectors
+    * with the smallest `(id·2654435761) mod (2^31−1)`, sliced into `m`
+    * equal subspaces; codebook index = draw rank. k-means-free and
+    * engine-portable; selection is a distributed TakeOrdered over ksub
+    * rows, never a collect of the corpus. Returns m × ksub × (D/m). */
+  def pqCodebooks(e: DataFrame, m: Int, ksub: Int): Array[Array[Array[Float]]] = {
+    val seeds = Similarity.ivfCentroids(e, ksub) // (rank, vec, norm), rank 0-based
+    val dim = seeds.head._2.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      seeds.sortBy(_._1).map { case (_, v, _) => v.slice(s * dsub, (s + 1) * dsub) }
+    }
+  }
+
+  /** Per-subspace argmin-L2 encoding: code_s = the codebook entry
+    * minimizing Σ_d (x_d − c_d)² (floats widened to double, left-to-
+    * right fold — the exact IEEE-754 sequence the oracle replays), ties
+    * to the SMALLEST codebook index. */
+  def pqEncodeKernel(v: Array[Float], cb: Array[Array[Array[Float]]]): Array[Int] = {
+    val m = cb.length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val dsub = cb(s)(0).length
+      var best = Double.PositiveInfinity; var bestJ = 0
+      var j = 0
+      while (j < cb(s).length) {
+        val c = cb(s)(j)
+        var acc = 0.0; var d = 0
+        while (d < dsub) {
+          val diff = v(s * dsub + d).toDouble - c(d).toDouble
+          acc += diff * diff
+          d += 1
+        }
+        if (acc < best) { best = acc; bestJ = j } // strict < keeps earliest j on ties
+        j += 1
+      }
+      out(s) = bestJ
+      s += 1
+    }
+    out
+  }
+
+  /** Per-query ADC lookup table: lut(s)(j) = exact subspace L2 between
+    * the query's s-th slice and codebook entry j — same fold as
+    * [[pqEncodeKernel]]. m×ksub doubles per query (~1 KB at 8×16). */
+  def pqLutKernel(v: Array[Float], cb: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+    val m = cb.length
+    Array.tabulate(m) { s =>
+      val dsub = cb(s)(0).length
+      Array.tabulate(cb(s).length) { j =>
+        val c = cb(s)(j)
+        var acc = 0.0; var d = 0
+        while (d < dsub) {
+          val diff = v(s * dsub + d).toDouble - c(d).toDouble
+          acc += diff * diff
+          d += 1
+        }
+        acc
+      }
+    }
+  }
+
+  /** PQ-ADC top-k within blocks: corpus encoded ONCE to m codes per
+    * vector (partition-local kernel, broadcast codebooks — only the
+    * codes reach the join), each query carries its LUT, and the
+    * per-pair distance is a column-side HOF — m `element_at` lookups
+    * folded left-to-right, so the whole score is engine-portable and
+    * the DuckDB oracle replays draw → encode → ADC → rank end to end
+    * (q70). Output (qid, rnk, pid, dist) ranked by ADC distance ASC
+    * (dist = ||q − ŷ||², ŷ the PQ reconstruction — identity asserted
+    * in QuantizeSpec), ties pid ASC. Same block equi-join shape as
+    * [[annSq8]]; at corpus scale the shuffled payload is m bytes of
+    * code per corpus row and ~ksub·m doubles per query row. */
+  def annPq(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+            m: Int, ksub: Int, blockCol: Option[String] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val baseCols = Seq(col(idCol).cast("long").as("id"), col(vecCol).as("v")) ++
+      blockCol.map(c => col(c).as("blk"))
+    val e = emb.select(baseCols: _*)
+    val bcCb = spark.sparkContext.broadcast(
+      pqCodebooks(emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), m, ksub))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val hasBlk = blockCol.isDefined
+    val blkField = if (hasBlk) Seq(StructField("blk",
+      e.schema.find(_.name == "blk").get.dataType)) else Nil
+    val codesSchema = StructType(Seq(StructField("id", LongType),
+      StructField("codes", ArrayType(IntegerType, containsNull = false))) ++ blkField)
+    val lutSchema = StructType(Seq(StructField("id", LongType),
+      StructField("lut", ArrayType(ArrayType(DoubleType, containsNull = false),
+        containsNull = false))) ++ blkField)
+    implicit val cEnc = org.apache.spark.sql.Encoders.row(codesSchema)
+    val corpus = e.mapPartitions { it =>
+      it.map { r =>
+        val vals = Seq(r.getLong(0),
+          pqEncodeKernel(r.getSeq[Float](1).toArray, bcCb.value).toSeq) ++
+          (if (hasBlk) Seq(r.get(2)) else Nil)
+        Row(vals: _*)
+      }
+    }(cEnc).select((Seq(col("id").as("pid"), col("codes")) ++
+      (if (hasBlk) Seq(col("blk")) else Nil)): _*)
+    implicit val lEnc = org.apache.spark.sql.Encoders.row(lutSchema)
+    val queries = e.mapPartitions { it =>
+      it.map { r =>
+        val vals = Seq(r.getLong(0),
+          pqLutKernel(r.getSeq[Float](1).toArray, bcCb.value).map(_.toSeq).toSeq) ++
+          (if (hasBlk) Seq(r.get(2)) else Nil)
+        Row(vals: _*)
+      }
+    }(lEnc).select((Seq(col("id").as("qid"), col("lut")) ++
+      (if (hasBlk) Seq(col("blk")) else Nil)): _*)
+    val joined =
+      if (hasBlk) queries.join(corpus, "blk").where(col("qid") =!= col("pid"))
+      else queries.crossJoin(corpus).where(col("qid") =!= col("pid"))
+    // dist = Σ_s lut[s][code_s]: zip codes with the LUT rows positionally,
+    // pick each code's table entry (element_at is 1-based), fold left to
+    // right from 0.0 — the exact grouping the oracle's list_reduce uses
+    val dist = aggregate(
+      zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + lit(1))),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = joined.select(col("qid"), col("pid"), dist.as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("pid").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("qid", "rnk", "pid", "dist")
+  }
+
   /** SQ8 codes packed as BINARY — one signed byte per dimension, the
     * AT-REST layout ([[graft.lake.Lake.writeQuantizedEmbeddings]]): a
     * parquet embedding table stores d bytes per vector instead of 4d. */

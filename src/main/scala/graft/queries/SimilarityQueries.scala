@@ -67,6 +67,18 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // Product quantization + ADC (FAISS "PQ": the compression tier beyond
+    // SQ8 — 64 floats become 8 codes against per-subspace codebooks, 32×
+    // smaller in the join; queries stay float and score via an exact
+    // m×ksub lookup table). Codebooks are the same deterministic
+    // hash-strided draw as IVF, so the oracle replays draw → per-subspace
+    // argmin encode → ADC distance → rank end to end.
+    "q70_ann_pq" -> ((s, dir) => {
+      graft.ops.Quantize.annPq(t(s, dir, "embeddings"), "vec_id", "embedding", 2,
+          m = 8, ksub = 16, blockCol = Some("label"))
+        .orderBy("qid", "rnk")
+    }),
+
     // the ANN scale path: banded multi-table SRP-LSH candidates (equi-join
     // on (band, bandkey) — never all-pairs), exact cosine re-rank of
     // candidates only. The oracle runs the identical algorithm in DuckDB.
@@ -172,7 +184,54 @@ object SimilarityQueries {
          FROM cand JOIN nn ca ON ca.vec_id = cand.qid
                    JOIN nn cb ON cb.vec_id = cand.pid)"""
 
+  /** PQ gate geometry: 64-dim embeddings, 8 subspaces of 8 dims, 16
+    * codebook entries per subspace. */
+  private val PqM = 8
+  private val PqDsub = 8
+  private val PqKsub = 16
+
+  /** corpus/codebook subspace slices as a UNION ALL (DuckDB list slicing
+    * is 1-based inclusive) */
+  private def pqSlicesSql(src: String, idCols: String, out: String): String =
+    (0 until PqM).map { s =>
+      s"SELECT $idCols, $s AS s, embedding[${s * PqDsub + 1}:${(s + 1) * PqDsub}] AS $out FROM $src"
+    }.mkString(" UNION ALL ")
+
   val oracleSql: Map[String, String] = Map(
+    "q70_ann_pq" ->
+      s"""WITH cb AS (SELECT CAST(row_number() OVER (
+             ORDER BY (vec_id*2654435761) % 2147483647, vec_id) - 1 AS INTEGER) AS li,
+             embedding
+           FROM (SELECT * FROM embeddings
+                 ORDER BY (vec_id*2654435761) % 2147483647, vec_id LIMIT $PqKsub)),
+         xs AS (${pqSlicesSql("embeddings", "vec_id, label", "xv")}),
+         cs AS (${pqSlicesSql("cb", "li", "cv")}),
+         d2 AS (SELECT x.vec_id, x.s, c.li,
+             list_reduce(list_transform(list_zip(x.xv, c.cv),
+               l -> (CAST(l[1] AS DOUBLE) - CAST(l[2] AS DOUBLE))
+                  * (CAST(l[1] AS DOUBLE) - CAST(l[2] AS DOUBLE))),
+               (a,b) -> a + b) AS dv
+           FROM xs x JOIN cs c ON c.s = x.s),
+         enc AS (SELECT vec_id, s, li AS code FROM
+            (SELECT vec_id, s, li,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dv ASC, li ASC) AS rn
+             FROM d2)
+            WHERE rn = 1),
+         pairs0 AS (SELECT a.vec_id AS qid, b.vec_id AS pid
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         terms AS (SELECT p.qid, p.pid, ey.s, d.dv
+           FROM pairs0 p
+           JOIN enc ey ON ey.vec_id = p.pid
+           JOIN d2 d ON d.vec_id = p.qid AND d.s = ey.s AND d.li = ey.code),
+         pd AS (SELECT qid, pid,
+             list_reduce(list(dv ORDER BY s), (a,b) -> a + b) AS dist
+           FROM terms GROUP BY qid, pid)
+         SELECT qid, CAST(rn AS INTEGER) AS rnk, pid, dist FROM
+           (SELECT qid, pid, dist,
+              row_number() OVER (PARTITION BY qid ORDER BY dist ASC, pid ASC) AS rn
+            FROM pd)
+         WHERE rn <= 2 ORDER BY qid, rnk""",
     "q62_ann_sq8" ->
       s"""WITH q AS (SELECT vec_id, label, embedding,
              greatest(list_max(list_transform(embedding,

@@ -93,6 +93,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("PQ-ADC blocked search plans as a block equi-join, never all-pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = (0 until 60).map { i =>
+      (i.toLong, i % 5, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val df = graft.ops.Quantize.annPq(emb, "vec_id", "embedding", 2,
+      m = 4, ksub = 8, blockCol = Some("label"))
+    df.collect() // settle AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs fallback detected:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("jaccard kept-gram self-join plans as an equi-join on gram") {
     val spark2 = spark
     import spark2.implicits._

@@ -157,6 +157,82 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.9, s"mean quantized recall@3 = $recall")
   }
 
+  test("PQ-ADC: distance = L2 to the PQ reconstruction; deterministic across partitionings") {
+    val (m, ksub) = (4, 8)
+    val blocked = emb.withColumn("label", pmod(col("vec_id"), lit(10)))
+    val cb = Quantize.pqCodebooks(
+      emb.select(col("vec_id").as("id"), col("embedding").as("v")), m, ksub)
+    cb.length shouldBe m
+    cb.foreach(_.length shouldBe ksub)
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = Quantize.annPq(blocked, "vec_id", "embedding", 3, m, ksub, Some("label"))
+      .collect()
+    got.nonEmpty shouldBe true
+    // ADC identity: the reported distance IS ||q − ŷ||² for the corpus
+    // vector's PQ reconstruction ŷ (subspace-blocked summation)
+    got.foreach { r =>
+      val (q, p) = (vecs(r.getLong(0)), vecs(r.getLong(2)))
+      val codes = Quantize.pqEncodeKernel(p, cb)
+      val dsub = q.length / m
+      var dist = 0.0
+      for (s <- 0 until m) {
+        var acc = 0.0
+        for (d <- 0 until dsub) {
+          val diff = q(s * dsub + d).toDouble - cb(s)(codes(s))(d).toDouble
+          acc += diff * diff
+        }
+        dist += acc
+      }
+      assert(java.lang.Double.doubleToLongBits(dist) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+    // pure function of the input set: identical output after repartitioning
+    val re = Quantize.annPq(blocked.repartition(7), "vec_id", "embedding", 3,
+        m, ksub, Some("label"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(3)))).toMap
+    val first = got.map(r => (r.getLong(0), r.getInt(1)) ->
+      (r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(3)))).toMap
+    re shouldBe first
+  }
+
+  test("PQ-ADC recall on clustered data: top-3 recovers co-cluster members") {
+    // 50 tight clusters of 4, several clusters per block — the regime PQ is
+    // for: ranking is decided by inter-cluster separation (>> reconstruction
+    // error), not by intra-cluster noise (<< reconstruction error, which no
+    // m-byte code can resolve — the rerank pattern exists for that)
+    val spark2 = spark
+    import spark2.implicits._
+    val (m, ksub) = (4, 8)
+    val pqEmb = (0 until 200).map { i =>
+      val cl = i / 4
+      val v = Array.tabulate(16) { d =>
+        val base = math.sin(cl * 37 + d * 3 + 1).toFloat * 2f
+        val pert = (((i * 16 + d) * 2654435761L % 1000L) / 20000.0f) - 0.025f
+        base + pert
+      }
+      (i.toLong, cl % 5, v)
+    }.toDF("vec_id", "label", "embedding")
+    val vecs = pqEmb.collect().map(r => r.getLong(0) -> r.getSeq[Float](2).toArray).toMap
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val byBlock = (0 until 200).map(_.toLong).groupBy(id => (id / 4) % 5)
+    val exact = vecs.keys.map { q =>
+      q -> byBlock((q / 4) % 5).filter(_ != q)
+        .sortBy(p => (l2(vecs(q), vecs(p)), p)).take(3).toSet
+    }.toMap
+    val gotTop = Quantize.annPq(pqEmb, "vec_id", "embedding", 3, m, ksub, Some("label"))
+      .collect().groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = exact.toSeq.map { case (q, ids) =>
+      gotTop.get(q).map(g => ids.count(g.contains).toDouble / ids.size).getOrElse(0.0)
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.7, s"mean PQ-ADC recall@3 vs exact L2 = $recall")
+  }
+
   test("IVF-SQ8 rerank = exact cosine order restricted to the quantized candidates") {
     val (k, rerankK, nLists, nProbe) = (2, 4, 16, 4)
     // the candidate set the refine step sees: the quantized index's top-rerankK
