@@ -325,6 +325,64 @@ object Quantize {
       .select("qid", "rnk", "pid", "dist")
   }
 
+  /** IVF-PQ (FAISS's flagship billion-scale index, the
+    * `by_residual=false` configuration): IVF's coarse quantizer prunes
+    * candidates to the nProbe probed lists — the SAME deterministic
+    * draw and exact-cosine assignment as [[Similarity.annIvf]] /
+    * [[annIvfSq8]], so all three indexes share list structure — and
+    * the surviving pairs are scored by PQ-ADC over m codes per corpus
+    * vector ([[annPq]]'s table-lookup HOF). The join moves m bytes of
+    * information per corpus row (32× under SQ8's already-4×-smaller
+    * codes at D=64, m=8) and one LUT per probing query; the float
+    * corpus is read once, in the encode projection, and never shuffled.
+    * Output (qid, rnk, pid, dist) ranked by ADC distance ASC, ties pid
+    * ASC — for the pairs it returns, distances are IDENTICAL to
+    * [[annPq]]'s (composition changes candidates only; asserted in
+    * QuantizeSpec). Gated q71: the oracle replays the q63 list
+    * assignment × the q70 encode/ADC, end to end. */
+  def annIvfPq(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+               nLists: Int, nProbe: Int, m: Int, ksub: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val bcC = spark.sparkContext.broadcast(Similarity.ivfCentroids(e, nLists))
+    val bcCb = spark.sparkContext.broadcast(pqCodebooks(e, m, ksub))
+    def nearestLists(v: Array[Float], n: Int): Array[Int] =
+      Similarity.nearestIn(bcC.value, v, n)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val codesSchema = StructType(Seq(StructField("list", IntegerType),
+      StructField("id", LongType),
+      StructField("codes", ArrayType(IntegerType, containsNull = false))))
+    val lutSchema = StructType(Seq(StructField("list", IntegerType),
+      StructField("id", LongType),
+      StructField("lut", ArrayType(ArrayType(DoubleType, containsNull = false),
+        containsNull = false))))
+    implicit val cEnc = org.apache.spark.sql.Encoders.row(codesSchema)
+    val lists = e.mapPartitions { it =>
+      it.map { r =>
+        val v = r.getSeq[Float](1).toArray
+        Row(nearestLists(v, 1).head, r.getLong(0), pqEncodeKernel(v, bcCb.value).toSeq)
+      }
+    }(cEnc).select(col("list"), col("id").as("pid"), col("codes"))
+    implicit val lEnc = org.apache.spark.sql.Encoders.row(lutSchema)
+    val probes = e.mapPartitions { it =>
+      it.flatMap { r =>
+        val v = r.getSeq[Float](1).toArray
+        val lut = pqLutKernel(v, bcCb.value).map(_.toSeq).toSeq
+        nearestLists(v, nProbe).iterator.map(li => Row(li, r.getLong(0), lut))
+      }
+    }(lEnc).select(col("list"), col("id").as("qid"), col("lut"))
+    val dist = aggregate(
+      zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + lit(1))),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = probes.join(lists, "list")
+      .where(col("qid") =!= col("pid"))
+      .select(col("qid"), col("pid"), dist.as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("pid").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("qid", "rnk", "pid", "dist")
+  }
+
   /** SQ8 codes packed as BINARY — one signed byte per dimension, the
     * AT-REST layout ([[graft.lake.Lake.writeQuantizedEmbeddings]]): a
     * parquet embedding table stores d bytes per vector instead of 4d. */

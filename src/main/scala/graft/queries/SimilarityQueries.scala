@@ -79,6 +79,17 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // IVF-PQ (FAISS's flagship billion-scale index, by_residual=false):
+    // IVF's coarse quantizer prunes candidates to the probed lists (the
+    // same draw/assignment as q41/q63 — all three share list structure),
+    // PQ-ADC scores the survivors over 8 codes per corpus vector. The
+    // oracle is the q63 list-assignment prefix × the q70 encode/ADC.
+    "q71_ann_ivfpq" -> ((s, dir) => {
+      graft.ops.Quantize.annIvfPq(t(s, dir, "embeddings"), "vec_id", "embedding", 2,
+          nLists = 16, nProbe = 3, m = 8, ksub = 16)
+        .orderBy("qid", "rnk")
+    }),
+
     // the ANN scale path: banded multi-table SRP-LSH candidates (equi-join
     // on (band, bandkey) — never all-pairs), exact cosine re-rank of
     // candidates only. The oracle runs the identical algorithm in DuckDB.
@@ -145,10 +156,9 @@ object SimilarityQueries {
     s"SELECT vec_id, $b AS band, ${bandKeySql(b)} AS bkey FROM embeddings"
   }.mkString(" UNION ALL ")
 
-  /** Shared q63/q69 oracle prefix: IVF centroid draw → exact-cosine list
-    * assignment → SQ8 quantization → list equi-join → integer-scored
-    * quantized pairs (qid, pid, qdot, qn2). */
-  private val ivfSq8PairsSql =
+  /** Shared q63/q69/q71 oracle prefix: IVF centroid draw → exact-cosine
+    * list assignment (rn=1) + nProbe=3 query probes. */
+  private val ivfAssignSql =
     s"""$eSql,
        c AS (SELECT vec_id, embedding, n,
            CAST(row_number() OVER (ORDER BY (vec_id*2654435761) % 2147483647, vec_id) - 1
@@ -164,7 +174,12 @@ object SimilarityQueries {
            row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, li ASC) AS rn
          FROM sims),
        assign AS (SELECT vec_id AS pid, li AS list FROM ranked WHERE rn = 1),
-       probes AS (SELECT vec_id AS qid, li AS list FROM ranked WHERE rn <= 3),
+       probes AS (SELECT vec_id AS qid, li AS list FROM ranked WHERE rn <= 3)"""
+
+  /** Shared q63/q69 oracle prefix: [[ivfAssignSql]] → SQ8 quantization →
+    * list equi-join → integer-scored quantized pairs (qid, pid, qdot, qn2). */
+  private val ivfSq8PairsSql =
+    s"""$ivfAssignSql,
        sc AS (SELECT vec_id,
            greatest(list_max(list_transform(embedding,
              x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS s, embedding
@@ -197,9 +212,11 @@ object SimilarityQueries {
       s"SELECT $idCols, $s AS s, embedding[${s * PqDsub + 1}:${(s + 1) * PqDsub}] AS $out FROM $src"
     }.mkString(" UNION ALL ")
 
-  val oracleSql: Map[String, String] = Map(
-    "q70_ann_pq" ->
-      s"""WITH cb AS (SELECT CAST(row_number() OVER (
+  /** Shared q70/q71 PQ oracle CTEs: codebook draw → subspace slices →
+    * per-(vector, subspace, entry) L2 table `d2` → argmin encode `enc`.
+    * (`cb` is the same 16-seed hash draw as [[ivfAssignSql]]'s `c`.) */
+  private val pqEncSql =
+    s"""cb AS (SELECT CAST(row_number() OVER (
              ORDER BY (vec_id*2654435761) % 2147483647, vec_id) - 1 AS INTEGER) AS li,
              embedding
            FROM (SELECT * FROM embeddings
@@ -216,11 +233,13 @@ object SimilarityQueries {
             (SELECT vec_id, s, li,
                row_number() OVER (PARTITION BY vec_id, s ORDER BY dv ASC, li ASC) AS rn
              FROM d2)
-            WHERE rn = 1),
-         pairs0 AS (SELECT a.vec_id AS qid, b.vec_id AS pid
-           FROM embeddings a JOIN embeddings b
-             ON a.label = b.label AND a.vec_id <> b.vec_id),
-         terms AS (SELECT p.qid, p.pid, ey.s, d.dv
+            WHERE rn = 1)"""
+
+  /** ADC pair scoring + final rank shared by q70/q71: per-pair terms from
+    * the query's `d2` row at the corpus vector's code, folded in subspace
+    * order. Expects a CTE `pairs0(qid, pid)` in scope. */
+  private val pqAdcRankSql =
+    s"""terms AS (SELECT p.qid, p.pid, ey.s, d.dv
            FROM pairs0 p
            JOIN enc ey ON ey.vec_id = p.pid
            JOIN d2 d ON d.vec_id = p.qid AND d.s = ey.s AND d.li = ey.code),
@@ -231,7 +250,21 @@ object SimilarityQueries {
            (SELECT qid, pid, dist,
               row_number() OVER (PARTITION BY qid ORDER BY dist ASC, pid ASC) AS rn
             FROM pd)
-         WHERE rn <= 2 ORDER BY qid, rnk""",
+         WHERE rn <= 2 ORDER BY qid, rnk"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q70_ann_pq" ->
+      s"""WITH $pqEncSql,
+         pairs0 AS (SELECT a.vec_id AS qid, b.vec_id AS pid
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         $pqAdcRankSql""",
+    "q71_ann_ivfpq" ->
+      s"""WITH $ivfAssignSql,
+         $pqEncSql,
+         pairs0 AS (SELECT p.qid, a.pid FROM probes p JOIN assign a
+           ON a.list = p.list AND a.pid <> p.qid),
+         $pqAdcRankSql""",
     "q62_ann_sq8" ->
       s"""WITH q AS (SELECT vec_id, label, embedding,
              greatest(list_max(list_transform(embedding,

@@ -108,6 +108,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("IVF-PQ candidate generation plans as a list equi-join, never all-pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val df = graft.ops.Quantize.annIvfPq(emb, "vec_id", "embedding", 2,
+      nLists = 8, nProbe = 3, m = 4, ksub = 8)
+    df.collect() // settle AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs fallback detected:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("jaccard kept-gram self-join plans as an equi-join on gram") {
     val spark2 = spark
     import spark2.implicits._

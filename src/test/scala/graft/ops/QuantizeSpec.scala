@@ -233,6 +233,40 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.7, s"mean PQ-ADC recall@3 vs exact L2 = $recall")
   }
 
+  test("IVF-PQ scores its candidates exactly like brute-force PQ-ADC, with recall") {
+    val (m, ksub, nLists, nProbe) = (4, 8, 16, 4)
+    val cb = Quantize.pqCodebooks(
+      emb.select(col("vec_id").as("id"), col("embedding").as("v")), m, ksub)
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def adc(q: Array[Float], p: Array[Float]): Double = {
+      val codes = Quantize.pqEncodeKernel(p, cb)
+      val lut = Quantize.pqLutKernel(q, cb)
+      var dist = 0.0; var s = 0
+      while (s < m) { dist += lut(s)(codes(s)); s += 1 }
+      dist
+    }
+    val got = Quantize.annIvfPq(emb, "vec_id", "embedding", 3, nLists, nProbe, m, ksub)
+      .collect()
+    got.nonEmpty shouldBe true
+    // composition changes CANDIDATES only: every returned pair carries the
+    // identical ADC distance the all-pairs formulation computes
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(adc(vecs(r.getLong(0)), vecs(r.getLong(2)))))
+    }
+    // recall vs brute-force PQ-ADC over all pairs
+    val bruteTop = vecs.keys.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(p => (adc(vecs(q), vecs(p)), p)).take(3).toSet
+    }.toMap
+    val gotTop = got.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recalls = bruteTop.toSeq.map { case (q, ids) =>
+      gotTop.get(q).map(g => ids.count(g.contains).toDouble / ids.size).getOrElse(0.0)
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.5, s"mean IVF-PQ recall@3 vs brute-force PQ-ADC = $recall")
+  }
+
   test("IVF-SQ8 rerank = exact cosine order restricted to the quantized candidates") {
     val (k, rerankK, nLists, nProbe) = (2, 4, 16, 4)
     // the candidate set the refine step sees: the quantized index's top-rerankK
