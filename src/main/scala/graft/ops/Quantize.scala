@@ -173,9 +173,16 @@ object Quantize {
   def annIvfSq8Rerank(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                       nLists: Int, nProbe: Int, rerankK: Int): DataFrame = {
     require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
-    val cand = annIvfSq8(emb, idCol, vecCol, rerankK, nLists, nProbe)
-      .select("qid", "pid")
-    val scored = Similarity.scorePairs(cand, emb, idCol, vecCol)
+    exactRerank(annIvfSq8(emb, idCol, vecCol, rerankK, nLists, nProbe),
+      emb, idCol, vecCol, k)
+  }
+
+  /** The refine tail shared by the rerank variants: exact float cosine
+    * over the candidate (qid, pid) pairs ([[Similarity.scorePairs]] —
+    * auto broadcast vs join), re-ranked (cos desc, pid asc) to top-k. */
+  private def exactRerank(cand: DataFrame, emb: DataFrame, idCol: String,
+                          vecCol: String, k: Int): DataFrame = {
+    val scored = Similarity.scorePairs(cand.select("qid", "pid"), emb, idCol, vecCol)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select("qid", "rnk", "pid", "cos")
@@ -381,6 +388,25 @@ object Quantize {
     val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("pid").asc)
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select("qid", "rnk", "pid", "dist")
+  }
+
+  /** IVF-PQ with exact rerank (FAISS `IndexRefineFlat` over IVFPQ) —
+    * the full production stack: list pruning bounds the candidate set,
+    * PQ-ADC ranks it from m-byte codes, and exact float cosine
+    * re-ranks the quantized top-`rerankK` to the final top-`k`. The
+    * refine matters MOST here: PQ's reconstruction error is the
+    * coarsest of the family (an m-byte code cannot rank neighbours
+    * closer together than the quantization cell — q70's spec documents
+    * the negative), so the exact pass restores intra-cell order at one
+    * float read per surviving pair. Output (qid, rnk, pid, cos); gated
+    * q72 (the q71 oracle ranked to rerankK + the q41 exact-fold
+    * rerank). */
+  def annIvfPqRerank(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                     nLists: Int, nProbe: Int, m: Int, ksub: Int,
+                     rerankK: Int): DataFrame = {
+    require(rerankK >= k, s"rerankK=$rerankK must be >= k=$k")
+    exactRerank(annIvfPq(emb, idCol, vecCol, rerankK, nLists, nProbe, m, ksub),
+      emb, idCol, vecCol, k)
   }
 
   /** SQ8 codes packed as BINARY — one signed byte per dimension, the

@@ -90,6 +90,17 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // IVF-PQ + exact rerank — the full production ANN stack: list pruning
+    // bounds candidates, PQ-ADC ranks them from m-byte codes, exact float
+    // cosine re-ranks the quantized top-4 to the final top-2. The refine
+    // matters most here: PQ's reconstruction error is the family's
+    // coarsest, and the exact pass restores intra-cell order.
+    "q72_ann_ivfpq_rerank" -> ((s, dir) => {
+      graft.ops.Quantize.annIvfPqRerank(t(s, dir, "embeddings"), "vec_id", "embedding", 2,
+          nLists = 16, nProbe = 3, m = 8, ksub = 16, rerankK = 4)
+        .orderBy("qid", "rnk")
+    }),
+
     // the ANN scale path: banded multi-table SRP-LSH candidates (equi-join
     // on (band, bandkey) — never all-pairs), exact cosine re-rank of
     // candidates only. The oracle runs the identical algorithm in DuckDB.
@@ -235,17 +246,22 @@ object SimilarityQueries {
              FROM d2)
             WHERE rn = 1)"""
 
-  /** ADC pair scoring + final rank shared by q70/q71: per-pair terms from
-    * the query's `d2` row at the corpus vector's code, folded in subspace
-    * order. Expects a CTE `pairs0(qid, pid)` in scope. */
-  private val pqAdcRankSql =
+  /** ADC pair scoring shared by q70/q71/q72: per-pair terms from the
+    * query's `d2` row at the corpus vector's code, folded in subspace
+    * order into `pd(qid, pid, dist)`. Expects a CTE `pairs0(qid, pid)`
+    * in scope. */
+  private val pqAdcDistSql =
     s"""terms AS (SELECT p.qid, p.pid, ey.s, d.dv
            FROM pairs0 p
            JOIN enc ey ON ey.vec_id = p.pid
            JOIN d2 d ON d.vec_id = p.qid AND d.s = ey.s AND d.li = ey.code),
          pd AS (SELECT qid, pid,
              list_reduce(list(dv ORDER BY s), (a,b) -> a + b) AS dist
-           FROM terms GROUP BY qid, pid)
+           FROM terms GROUP BY qid, pid)"""
+
+  /** final ADC rank (q70/q71 tail) */
+  private val pqAdcRankSql =
+    s"""$pqAdcDistSql
          SELECT qid, CAST(rn AS INTEGER) AS rnk, pid, dist FROM
            (SELECT qid, pid, dist,
               row_number() OVER (PARTITION BY qid ORDER BY dist ASC, pid ASC) AS rn
@@ -265,6 +281,25 @@ object SimilarityQueries {
          pairs0 AS (SELECT p.qid, a.pid FROM probes p JOIN assign a
            ON a.list = p.list AND a.pid <> p.qid),
          $pqAdcRankSql""",
+    "q72_ann_ivfpq_rerank" ->
+      s"""WITH $ivfAssignSql,
+         $pqEncSql,
+         pairs0 AS (SELECT p.qid, a.pid FROM probes p JOIN assign a
+           ON a.list = p.list AND a.pid <> p.qid),
+         $pqAdcDistSql,
+         qtop AS (SELECT qid, pid FROM (SELECT qid, pid,
+             row_number() OVER (PARTITION BY qid ORDER BY dist ASC, pid ASC) AS rn
+           FROM pd) WHERE rn <= 4),
+         rescored AS (SELECT q.qid, q.pid,
+             list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+               l -> CAST(l[1] AS DOUBLE) * CAST(l[2] AS DOUBLE)), (x,y) -> x + y)
+               / (ea.n * eb.n) AS cos
+           FROM qtop q JOIN e ea ON ea.vec_id = q.qid JOIN e eb ON eb.vec_id = q.pid)
+         SELECT qid, CAST(rn AS INTEGER) AS rnk, pid, cos FROM
+           (SELECT qid, pid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, pid ASC) AS rn
+            FROM rescored)
+         WHERE rn <= 2 ORDER BY qid, rnk""",
     "q62_ann_sq8" ->
       s"""WITH q AS (SELECT vec_id, label, embedding,
              greatest(list_max(list_transform(embedding,

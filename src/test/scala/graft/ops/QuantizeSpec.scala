@@ -267,6 +267,28 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.5, s"mean IVF-PQ recall@3 vs brute-force PQ-ADC = $recall")
   }
 
+  test("IVF-PQ rerank = exact cosine order restricted to the PQ candidates") {
+    val (k, rerankK, nLists, nProbe, m, ksub) = (2, 4, 16, 4, 4, 8)
+    val cands = Quantize.annIvfPq(emb, "vec_id", "embedding", rerankK, nLists, nProbe, m, ksub)
+      .select("qid", "pid")
+    val expected = Similarity.scorePairs(cands, emb, "vec_id", "embedding")
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(k)
+          .map(r => (r.getLong(1), java.lang.Double.doubleToLongBits(r.getDouble(2))))
+          .toSeq
+      }
+    val got = Quantize.annIvfPqRerank(emb, "vec_id", "embedding", k,
+        nLists, nProbe, m, ksub, rerankK)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1))
+          .map(r => (r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(3))))
+          .toSeq
+      }
+    got shouldBe expected
+  }
+
   test("IVF-SQ8 rerank = exact cosine order restricted to the quantized candidates") {
     val (k, rerankK, nLists, nProbe) = (2, 4, 16, 4)
     // the candidate set the refine step sees: the quantized index's top-rerankK
