@@ -99,8 +99,8 @@ object ScalingBench {
       spark.conf.set("graft.similarity.broadcastBytes", "1") // distributed arms only
       import org.apache.spark.sql.functions._
       val base = s"target/benchdata/quant-$n-$dim-$rowsPerBlk"
-      val (fDir, qDir) = (s"$base-float", s"$base-sq8")
-      if (!new java.io.File(qDir).isDirectory) {
+      val (fDir, qDir, pDir) = (s"$base-float", s"$base-sq8", s"$base-pq")
+      if (!new java.io.File(pDir).isDirectory) {
         // hash-noisy components so neither the float table nor the codes
         // compress below their information content (a smooth corpus would
         // flatter the at-rest ratio — real embeddings are noise-like)
@@ -122,20 +122,30 @@ object ScalingBench {
         emb.write.mode("overwrite").parquet(fDir)
         graft.lake.Lake.writeQuantizedEmbeddings(
           spark.read.parquet(fDir), "id", "v", qDir, extraCols = Seq("blk"))
+        graft.lake.Lake.writePqEmbeddings(
+          spark.read.parquet(fDir), "id", "v", pDir, m = dim / 8, ksub = 16,
+          extraCols = Seq("blk"))
       }
       def dirBytes(p: String): Long = new java.io.File(p).listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      val (pqDf, pqCb) = graft.lake.Lake.readPqEmbeddings(spark, pDir)
       def floatArm(): Long = graft.ops.Similarity.cosineTopK(
         spark.read.parquet(fDir), "id", "v", 1, Some("blk")).count()
       def quantArm(): Long = graft.ops.Quantize.annSq8FromCodes(
         spark.read.parquet(qDir), "id", "codes", 1, Some("blk")).count()
-      floatArm(); quantArm() // warmup: codegen + page cache
+      // PQ arm scores with SDC — its layout-native mode (codes on both
+      // sides, zero float IO); each arm runs the top-1-within-block job
+      // with its layout's scoring kernel
+      def pqArm(): Long = graft.ops.Quantize.annPqSdc(
+        pqDf, pqCb, "id", "codes", 1, Some("blk")).count()
+      floatArm(); quantArm(); pqArm() // warmup: codegen + page cache
       def best(job: () => Long): Double = (1 to 2).map { _ =>
         val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
       }.min
-      val (fSec, qSec) = (best(() => floatArm()), best(() => quantArm()))
-      val (fB, qB) = (dirBytes(fDir), dirBytes(qDir))
-      println(s"""{"mode":"quantbench","cores":$cores,"n":$n,"dim":$dim,"rows_per_block":$rowsPerBlk,"float_bytes":$fB,"sq8_bytes":$qB,"bytes_ratio":${fmt(fB.toDouble / qB)},"float_sec":${fmt(fSec)},"sq8_sec":${fmt(qSec)},"speedup":${fmt(fSec / qSec)}}""")
+      val (fSec, qSec, pSec) =
+        (best(() => floatArm()), best(() => quantArm()), best(() => pqArm()))
+      val (fB, qB, pB) = (dirBytes(fDir), dirBytes(qDir), dirBytes(pDir))
+      println(s"""{"mode":"quantbench","cores":$cores,"n":$n,"dim":$dim,"rows_per_block":$rowsPerBlk,"float_bytes":$fB,"sq8_bytes":$qB,"pq_bytes":$pB,"sq8_bytes_ratio":${fmt(fB.toDouble / qB)},"pq_bytes_ratio":${fmt(fB.toDouble / pB)},"float_sec":${fmt(fSec)},"sq8_sec":${fmt(qSec)},"pq_sec":${fmt(pSec)},"sq8_speedup":${fmt(fSec / qSec)},"pq_speedup":${fmt(fSec / pSec)}}""")
       spark.stop()
 
     case "bench" =>

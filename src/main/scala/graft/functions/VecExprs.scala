@@ -439,6 +439,71 @@ case class BytesVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** PQ symmetric-distance (SDC) scoring directly over two BINARY code
+  * columns: dist = Σ_s tbl[s][a_s][b_s], the per-subspace codebook-pair
+  * L2 table flattened to one double array (`flat((s·ksub + a_s)·ksub +
+  * b_s)`) and looped in subspace order — the identical left-to-right
+  * fold the HOF spelling and the JVM twin compute, inlined into
+  * whole-stage codegen (the HOF pays an interpreted lambda + three
+  * nested `element_at`s per subspace per PAIR on the hottest path of a
+  * PQ self-join). The table rides along as a codegen reference object —
+  * m·ksub² doubles, broadcast-trivial (2 K at the gate geometry). NULL
+  * on length mismatch (ragged-input contract of every dot in this
+  * file). */
+case class BytesSdcDist(left: Expression, right: Expression,
+                        flat: Array[Double], ksub: Int)
+  extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bytes_sdc_dist needs two binary arguments, got ${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "bytes_sdc_dist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length || x.length * ksub * ksub != flat.length) return null
+    var acc = 0.0
+    var s = 0
+    while (s < x.length) {
+      acc += flat((s * ksub + x(s)) * ksub + y(s))
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tblRef = ctx.addReferenceObj("sdcTbl", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.length != $b.length || $a.length * $ksub * $ksub != $tblRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $s = 0; $s < $a.length; $s++) {
+         |    $acc += $tblRef[($s * $ksub + $a[$s]) * $ksub + $b[$s]];
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All `bands` SRP-LSH band keys of an `array<float>` embedding in ONE
   * expression evaluation: key b packs `rowsPerBand` sign bits of the
   * deterministic hyperplane projections for planes
@@ -563,4 +628,13 @@ object VecExprs {
   /** integer dot directly over binary SQ8 code columns ([[BytesVecDot]]). */
   def dotB(a: Column, b: Column): Column =
     Bridge.column(BytesVecDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** PQ symmetric distance directly over binary code columns
+    * ([[BytesSdcDist]]); `tbl` is the m×ksub×ksub SDC table
+    * ([[graft.ops.Quantize.pqSdcTable]]). */
+  def sdcDist(a: Column, b: Column, tbl: Array[Array[Array[Double]]]): Column = {
+    val ksub = tbl.head.length
+    val flat = tbl.flatMap(_.flatMap(_.toSeq))
+    Bridge.column(BytesSdcDist(Bridge.expression(a), Bridge.expression(b), flat, ksub))
+  }
 }

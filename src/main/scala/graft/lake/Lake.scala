@@ -194,4 +194,62 @@ object Lake {
       transform(graft.ops.Quantize.bytesToCodes(col("codes")),
         c => c.cast("double") * col("scale").cast("double")))
   }
+
+  /** The PQ at-rest layout — the compression tier beyond
+    * [[writeQuantizedEmbeddings]]'s SQ8: each vector is product-quantized
+    * ONCE at write time ([[graft.ops.Quantize.pqCodebooks]]'s
+    * deterministic draw + argmin encode) and stored as m BINARY bytes —
+    * 32× fewer payload bytes than float32 at D=64/m=8 (4·D → m). The m
+    * codebooks (m·ksub·(D/m) floats — KBs) are persisted beside the data
+    * under `_codebook/` (the underscore prefix hides the sidecar from
+    * plain `spark.read.parquet(path)` readers, the `_SUCCESS`
+    * convention), so the table is self-describing: reads need no access
+    * to the original floats. Search straight off this layout is
+    * [[graft.ops.Quantize.annPqSdc]] (both sides codes, zero float IO);
+    * sizes and scan+score seconds vs float/SQ8 are measured in
+    * `ScalingBench quantbench` (BENCH/BASELINE.md). */
+  def writePqEmbeddings(emb: DataFrame, idCol: String, vecCol: String,
+                        path: String, m: Int, ksub: Int,
+                        extraCols: Seq[String] = Seq.empty): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = emb.sparkSession
+    val cb = graft.ops.Quantize.pqCodebooks(
+      emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), m, ksub)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val src = emb.select((Seq(col(idCol), col(vecCol)) ++ extraCols.map(col)): _*)
+    val outSchema = StructType(
+      Seq(src.schema.head,
+        StructField("codes", BinaryType, nullable = false)) ++
+      src.schema.drop(2))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val quant = src.mapPartitions { it =>
+      it.map { r =>
+        val codes = graft.ops.Quantize
+          .pqEncodeKernel(r.getSeq[Float](1).toArray, bcCb.value)
+          .map(_.toByte)
+        Row(Seq(r.get(0), codes) ++ (2 until r.length).map(r.get): _*)
+      }
+    }
+    quant.write.mode("overwrite").parquet(path)
+    // codebook sidecar: one row per (subspace, entry), draw-rank ordered
+    val cbRows = for (s <- cb.indices; j <- cb(s).indices)
+      yield (s, j, cb(s)(j).toSeq)
+    spark.createDataFrame(cbRows).toDF("s", "j", "entry")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
+  }
+
+  /** Read the PQ layout back: the data frame (idCol, codes BINARY,
+    * extras…) and the codebooks reassembled from the `_codebook` sidecar
+    * in (subspace, draw-rank) order. */
+  def readPqEmbeddings(spark: SparkSession,
+                       path: String): (DataFrame, Array[Array[Array[Float]]]) = {
+    val cbRows = spark.read.parquet(s"$path/_codebook")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val m = cbRows.map(_._1).max + 1
+    val cb = Array.tabulate(m) { s =>
+      cbRows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    (spark.read.parquet(path), cb)
+  }
 }

@@ -409,6 +409,89 @@ object Quantize {
       emb, idCol, vecCol, k)
   }
 
+  /** SDC table for PQ codes: sdc(s)(i)(j) = exact subspace L2 between
+    * codebook entries i and j (same left-to-right fold as the ADC LUT).
+    * m×ksub² doubles (8×16² = 2 K at the gate geometry, 768-dim/96-
+    * subspace/256-entry production = 6.3 M — still broadcast-trivial).
+    * Symmetric distance computation is FAISS's all-quantized mode: when
+    * only the at-rest codes exist on BOTH sides (self-search over a PQ
+    * lake table, no float read at all), dist(x,y) ≈ ||x̂ − ŷ||² — the
+    * price is both reconstructions' error instead of one. */
+  def pqSdcTable(cb: Array[Array[Array[Float]]]): Array[Array[Array[Double]]] =
+    cb.map { entries =>
+      Array.tabulate(entries.length) { i =>
+        Array.tabulate(entries.length) { j =>
+          var acc = 0.0; var d = 0
+          while (d < entries(i).length) {
+            val diff = entries(i)(d).toDouble - entries(j)(d).toDouble
+            acc += diff * diff
+            d += 1
+          }
+          acc
+        }
+      }
+    }
+
+  /** PQ-SDC top-k DIRECTLY over the at-rest layout (id, BINARY codes
+    * [, block]) — no float column is read anywhere: per-pair distance is
+    * m lookups into the SDC table via the native codegen'd
+    * [[graft.functions.BytesSdcDist]] (the table rides along as a
+    * codegen reference object; the packed bytes are the join payload —
+    * no unpack projection). Self-search shape of [[annPq]]; distances
+    * equal the L2 between the two PQ reconstructions (subspace-blocked
+    * — asserted in LakeSpec; bit-parity with the HOF twin
+    * [[annPqSdcRef]] in both eval modes — QuantizeSpec). Output
+    * (qid, rnk, pid, dist), dist ASC, ties pid ASC. */
+  def annPqSdc(quant: DataFrame, cb: Array[Array[Array[Float]]],
+               idCol: String, codesCol: String, k: Int,
+               blockCol: Option[String] = None): DataFrame = {
+    val cols = Seq(col(idCol).cast("long").as("id"),
+      col(codesCol).as("c")) ++ blockCol.map(c => col(c).as("blk"))
+    val e = quant.select(cols: _*)
+    val joinCond = blockCol match {
+      case Some(_) => col("a.blk") === col("b.blk") && col("a.id") =!= col("b.id")
+      case None => col("a.id") =!= col("b.id")
+    }
+    val dist = graft.functions.VecExprs.sdcDist(col("a.c"), col("b.c"), pqSdcTable(cb))
+    val pairs = e.as("a").join(e.as("b"), joinCond)
+      .select(col("a.id").as("qid"), col("b.id").as("pid"), dist.as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("pid").asc)
+    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("qid", "rnk", "pid", "dist")
+  }
+
+  /** Column-HOF reference twin of [[annPqSdc]]'s scoring (interpreted
+    * lambda + three nested `element_at`s per subspace per pair — the
+    * SQL-portable spelling; bit-parity with the native path asserted in
+    * QuantizeSpec). Spec/oracle use only. */
+  def annPqSdcRef(quant: DataFrame, cb: Array[Array[Array[Float]]],
+                  idCol: String, codesCol: String, k: Int,
+                  blockCol: Option[String] = None): DataFrame = {
+    val m = cb.length
+    val tbl = typedLit(pqSdcTable(cb).map(_.map(_.toSeq).toSeq).toSeq)
+    val cols = Seq(col(idCol).cast("long").as("id"),
+      graft.functions.VecExprs.sq8BytesToLongs(col(codesCol)).as("c")) ++
+      blockCol.map(c => col(c).as("blk"))
+    val e = quant.select(cols: _*)
+    val joinCond = blockCol match {
+      case Some(_) => col("a.blk") === col("b.blk") && col("a.id") =!= col("b.id")
+      case None => col("a.id") =!= col("b.id")
+    }
+    // dist = Σ_s tbl[s][qc_s][pc_s] — all 1-based element_at, fold from 0.0
+    val dist = aggregate(
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        element_at(
+          element_at(element_at(tbl, s + lit(1)),
+            element_at(col("a.c"), s + lit(1)).cast("int") + lit(1)),
+          element_at(col("b.c"), s + lit(1)).cast("int") + lit(1))),
+      lit(0.0), (acc, x) => acc + x)
+    val pairs = e.as("a").join(e.as("b"), joinCond)
+      .select(col("a.id").as("qid"), col("b.id").as("pid"), dist.as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("pid").asc)
+    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("qid", "rnk", "pid", "dist")
+  }
+
   /** SQ8 codes packed as BINARY — one signed byte per dimension, the
     * AT-REST layout ([[graft.lake.Lake.writeQuantizedEmbeddings]]): a
     * parquet embedding table stores d bytes per vector instead of 4d. */

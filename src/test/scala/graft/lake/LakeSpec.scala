@@ -123,4 +123,59 @@ class LakeSpec extends SparkSpec {
     val top = graft.ops.Quantize.annSq8FromCodes(back, "vec_id", "codes", 1)
     top.count() shouldBe 2000L
   }
+
+  test("PQ embedding layout: self-describing round trip, SDC identity, ~16x-smaller files") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (m, ksub) = (8, 16)
+    // hash-noisy so the float side can't dictionary-compress (same honesty
+    // argument as quantbench: real embeddings are incompressible)
+    val emb = (0 until 2000).map { i =>
+      (i.toLong, i % 16, Array.tabulate(64) { d =>
+        val h = ((i * 64 + d) * 2654435761L % 16777213L).toInt
+        (h / 8388606.5 - 1.0).toFloat
+      })
+    }.toDF("vec_id", "blk", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pqlake").toString
+    val (qPath, fPath) = (s"$dir/pq", s"$dir/float")
+    Lake.writePqEmbeddings(emb, "vec_id", "embedding", qPath, m, ksub,
+      extraCols = Seq("blk"))
+    emb.write.parquet(fPath)
+    // self-describing read: data + codebooks come back from the path alone
+    val (back, cb) = Lake.readPqEmbeddings(spark, qPath)
+    back.count() shouldBe 2000L
+    cb.length shouldBe m
+    cb.foreach(_.length shouldBe ksub)
+    val cbExpect = graft.ops.Quantize.pqCodebooks(
+      emb.select(col("vec_id").as("id"), col("embedding").as("v")), m, ksub)
+    for (s0 <- 0 until m; j <- 0 until ksub)
+      cb(s0)(j).toSeq shouldBe cbExpect(s0)(j).toSeq
+    // codes round-trip bit-exactly
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](2).toArray).toMap
+    back.select("vec_id", "codes").collect().foreach { r =>
+      r.getAs[Array[Byte]](1).toSeq shouldBe
+        graft.ops.Quantize.pqEncodeKernel(vecs(r.getLong(0)), cb).map(_.toByte).toSeq
+    }
+    // SDC search straight off the layout, no float IO: distances equal the
+    // L2 between the two reconstructions (subspace-blocked fold)
+    val top = graft.ops.Quantize.annPqSdc(back, cb, "vec_id", "codes", 1, Some("blk"))
+      .collect()
+    top.length shouldBe 2000
+    top.take(200).foreach { r =>
+      val ca = graft.ops.Quantize.pqEncodeKernel(vecs(r.getLong(0)), cb)
+      val cp = graft.ops.Quantize.pqEncodeKernel(vecs(r.getLong(2)), cb)
+      val tbl = graft.ops.Quantize.pqSdcTable(cb)
+      var dist = 0.0
+      for (s0 <- 0 until m) dist += tbl(s0)(ca(s0))(cp(s0))
+      assert(java.lang.Double.doubleToLongBits(dist) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+    // the at-rest win: 64 incompressible floats (256 B) became 8 bytes
+    def bytesOf(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val (qb, fb) = (bytesOf(qPath), bytesOf(fPath))
+    assert(qb * 8 < fb, s"PQ $qb bytes vs float $fb — expected <1/8")
+  }
 }

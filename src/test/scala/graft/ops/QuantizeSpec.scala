@@ -267,6 +267,35 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.5, s"mean IVF-PQ recall@3 vs brute-force PQ-ADC = $recall")
   }
 
+  test("native SDC scoring is bit-identical to the HOF twin, both eval modes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (m, ksub) = (4, 8)
+    val cb = Quantize.pqCodebooks(
+      emb.select(col("vec_id").as("id"), col("embedding").as("v")), m, ksub)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val quant = emb.mapPartitions { it =>
+      it.map { r =>
+        (r.getLong(0), r.getLong(0) % 10,
+          Quantize.pqEncodeKernel(r.getSeq[Float](1).toArray, bcCb.value).map(_.toByte))
+      }
+    }.toDF("vec_id", "blk", "codes")
+    def check(): Unit = {
+      val native = Quantize.annPqSdc(quant, cb, "vec_id", "codes", 3, Some("blk"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(3)))).toMap
+      val ref = Quantize.annPqSdcRef(quant, cb, "vec_id", "codes", 3, Some("blk"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(3)))).toMap
+      native shouldBe ref
+      native.nonEmpty shouldBe true
+    }
+    check()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("IVF-PQ rerank = exact cosine order restricted to the PQ candidates") {
     val (k, rerankK, nLists, nProbe, m, ksub) = (2, 4, 16, 4, 4, 8)
     val cands = Quantize.annIvfPq(emb, "vec_id", "embedding", rerankK, nLists, nProbe, m, ksub)
