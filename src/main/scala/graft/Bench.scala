@@ -104,6 +104,10 @@ object Bench {
           try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         }._1
       }
+      // release any frames the query persist()ed (q58/q67) AFTER its
+      // best-of-2 — within-query warm runs keep the cache, across-query
+      // the sweep must not accumulate dead blocks
+      spark.catalog.clearCache()
       name -> secs.min
     }
   }

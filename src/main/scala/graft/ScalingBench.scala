@@ -109,8 +109,11 @@ object ScalingBench {
           transform(sequence(lit(0), lit(dim - 1)), { d =>
             // two-stage different-modulus mix + xor-shift (a single LCG
             // leaves arithmetic strides the compressor finds; ANSI mode
-            // forbids overflowing longs, so reduce between stages)
-            val h1 = pmod((col("id") * dim + d) * lit(2654435761L), lit(2147483647L))
+            // forbids overflowing longs, so EVERY product is reduced below
+            // 2^31 first — including the id*dim+d seed, which would
+            // overflow the first multiply above n ~ 27M otherwise)
+            val h0 = pmod(col("id") * dim + d, lit(2147483647L))
+            val h1 = pmod(h0 * lit(2654435761L), lit(2147483647L))
             val h2 = h1.bitwiseXOR(shiftright(h1, 13))
             // final modulus ~2^24: enough distinct floats that parquet
             // cannot dictionary-encode the column (a small modulus lets the

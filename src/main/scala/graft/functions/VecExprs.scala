@@ -157,7 +157,12 @@ case class LongVecDot(left: Expression, right: Expression)
   * the DuckDB oracle replays), but with the scale computed ONCE instead of
   * re-evaluating the array_max scan inside the per-element lambda (O(d)
   * vs O(d²) per vector — invisible at the gated 16 dims, dominant at
-  * 768+). Bit-parity with the twin asserted in QuantizeSpec. */
+  * 768+). Bit-parity with the twin asserted in QuantizeSpec. Input
+  * contract: elements FINITE (no NaN) — the native max scan skips NaN
+  * (`>` is false) while the twin's `array_max` orders NaN greatest, so
+  * NaN-bearing vectors diverge between the two spellings (and the twin's
+  * long cast of NaN errors under ANSI). Holds for [[FloatVecSq8Recon]]
+  * and [[FloatVecSq8Bytes]] too (same scale scan). */
 case class FloatVecSq8(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

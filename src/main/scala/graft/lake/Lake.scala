@@ -178,14 +178,19 @@ object Lake {
   def writeQuantizedEmbeddings(emb: DataFrame, idCol: String, vecCol: String,
                                path: String,
                                extraCols: Seq[String] = Seq.empty): Unit = {
+    // the scale is stored as DOUBLE: codes are computed against the exact
+    // double scale, and a float-rounded copy shifts reconstruction by up
+    // to ~127 ulp(scale) — past the |v − v̂| ≤ scale/2 bound for values
+    // quantized at a cell boundary. 4 extra bytes/row is noise next to
+    // the 4× payload win.
     val cols = Seq(col(idCol),
       graft.ops.Quantize.sq8Bytes(col(vecCol)).as("codes"),
-      graft.ops.Quantize.sq8Scale(col(vecCol)).cast("float").as("scale")) ++
+      graft.ops.Quantize.sq8Scale(col(vecCol)).as("scale")) ++
       extraCols.map(col)
     emb.select(cols: _*).write.mode("overwrite").parquet(path)
   }
 
-  /** Read the quantized layout back: (idCol, codes binary, scale float,
+  /** Read the quantized layout back: (idCol, codes binary, scale double,
     * extras…) plus a reconstructed `vec_approx` array<double> column
     * (|v − v̂| ≤ scale/2 per dimension, the SQ8 distortion bound). */
   def readQuantizedEmbeddings(spark: SparkSession, path: String): DataFrame = {

@@ -49,6 +49,26 @@ object Quantize {
   private def codeNorm2(codes: Column): Column =
     graft.functions.VecExprs.dotL(codes, codes)
 
+  /** The rank tail every ANN method in this object shares: top-k per
+    * query over candidate pairs, deterministic tie-break (score order,
+    * then pid asc). One definition so a tie-break or rank change cannot
+    * drift between the seven search variants. */
+  private def rankTopK(pairs: DataFrame, orderCol: String, ascending: Boolean,
+                       k: Int, outCols: Seq[String]): DataFrame = {
+    val ord = if (ascending) col(orderCol).asc else col(orderCol).desc
+    val w = Window.partitionBy("qid").orderBy(ord, col("pid").asc)
+    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(outCols.map(col): _*)
+  }
+
+  /** ADC distance column shared by [[annPq]]/[[annIvfPq]]: codes zipped
+    * positionally with the per-query LUT, each code's table entry picked
+    * with 1-based `element_at`, folded left-to-right from 0.0 — the
+    * exact grouping the DuckDB oracle's `list_reduce` replays. */
+  private def adcDistCol(codes: Column, lut: Column): Column =
+    aggregate(zip_with(codes, lut, (c, l) => element_at(l, c + lit(1))),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Quantized brute-force cosine top-k within blocks: quantize → block
     * self-join → INTEGER dot per pair → one divide+sqrt for the score.
     * Output (qid, rnk, pid, qdot, cos_q), deterministic tie-break
@@ -74,9 +94,8 @@ object Quantize {
       .select(col("a.id").as("qid"), col("b.id").as("pid"), qdot.as("qdot"),
         (col("a.qn") * col("b.qn")).as("qn2"))
       .withColumn("cos_q", col("qdot").cast("double") / sqrt(col("qn2").cast("double")))
-    val w = Window.partitionBy("qid").orderBy(col("cos_q").desc, col("pid").asc)
-    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select("qid", "rnk", "pid", "qdot", "cos_q")
+    rankTopK(pairs, "cos_q", ascending = false, k,
+      Seq("qid", "rnk", "pid", "qdot", "cos_q"))
   }
 
   /** IVF-SQ8 — the FAISS composition a 100 TB embedding store actually
@@ -145,9 +164,8 @@ object Quantize {
       .select(col("qid"), col("pid"), qdot.as("qdot"),
         (col("qnn") * col("pn")).as("qn2"))
       .withColumn("cos_q", col("qdot").cast("double") / sqrt(col("qn2").cast("double")))
-    val w = Window.partitionBy("qid").orderBy(col("cos_q").desc, col("pid").asc)
-    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select("qid", "rnk", "pid", "qdot", "cos_q")
+    rankTopK(pairs, "cos_q", ascending = false, k,
+      Seq("qid", "rnk", "pid", "qdot", "cos_q"))
   }
 
   /** IVF-SQ8 with exact rerank (FAISS's `IndexRefineFlat` over IVF-SQ8):
@@ -183,9 +201,7 @@ object Quantize {
   private def exactRerank(cand: DataFrame, emb: DataFrame, idCol: String,
                           vecCol: String, k: Int): DataFrame = {
     val scored = Similarity.scorePairs(cand.select("qid", "pid"), emb, idCol, vecCol)
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select("qid", "rnk", "pid", "cos")
+    rankTopK(scored, "cos", ascending = false, k, Seq("qid", "rnk", "pid", "cos"))
   }
 
   // ------------------------------------------------------------------
@@ -210,6 +226,11 @@ object Quantize {
     * engine-portable; selection is a distributed TakeOrdered over ksub
     * rows, never a collect of the corpus. Returns m × ksub × (D/m). */
   def pqCodebooks(e: DataFrame, m: Int, ksub: Int): Array[Array[Array[Float]]] = {
+    // the at-rest tier packs one code per SIGNED byte (Lake.writePqEmbeddings
+    // / BytesSdcDist): ksub <= 128 keeps codes in [0,127]; a 256-entry
+    // codebook needs an unsigned decode tier that does not exist yet
+    require(ksub >= 1 && ksub <= 128,
+      s"ksub=$ksub out of the signed-byte code range [1,128]")
     val seeds = Similarity.ivfCentroids(e, ksub) // (rank, vec, norm), rank 0-based
     val dim = seeds.head._2.length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
@@ -320,16 +341,9 @@ object Quantize {
     val joined =
       if (hasBlk) queries.join(corpus, "blk").where(col("qid") =!= col("pid"))
       else queries.crossJoin(corpus).where(col("qid") =!= col("pid"))
-    // dist = Σ_s lut[s][code_s]: zip codes with the LUT rows positionally,
-    // pick each code's table entry (element_at is 1-based), fold left to
-    // right from 0.0 — the exact grouping the oracle's list_reduce uses
-    val dist = aggregate(
-      zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + lit(1))),
-      lit(0.0), (acc, x) => acc + x)
+    val dist = adcDistCol(col("codes"), col("lut"))
     val scored = joined.select(col("qid"), col("pid"), dist.as("dist"))
-    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("pid").asc)
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select("qid", "rnk", "pid", "dist")
+    rankTopK(scored, "dist", ascending = true, k, Seq("qid", "rnk", "pid", "dist"))
   }
 
   /** IVF-PQ (FAISS's flagship billion-scale index, the
@@ -379,15 +393,11 @@ object Quantize {
         nearestLists(v, nProbe).iterator.map(li => Row(li, r.getLong(0), lut))
       }
     }(lEnc).select(col("list"), col("id").as("qid"), col("lut"))
-    val dist = aggregate(
-      zip_with(col("codes"), col("lut"), (c, l) => element_at(l, c + lit(1))),
-      lit(0.0), (acc, x) => acc + x)
+    val dist = adcDistCol(col("codes"), col("lut"))
     val scored = probes.join(lists, "list")
       .where(col("qid") =!= col("pid"))
       .select(col("qid"), col("pid"), dist.as("dist"))
-    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("pid").asc)
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select("qid", "rnk", "pid", "dist")
+    rankTopK(scored, "dist", ascending = true, k, Seq("qid", "rnk", "pid", "dist"))
   }
 
   /** IVF-PQ with exact rerank (FAISS `IndexRefineFlat` over IVFPQ) —
@@ -411,8 +421,10 @@ object Quantize {
 
   /** SDC table for PQ codes: sdc(s)(i)(j) = exact subspace L2 between
     * codebook entries i and j (same left-to-right fold as the ADC LUT).
-    * m×ksub² doubles (8×16² = 2 K at the gate geometry, 768-dim/96-
-    * subspace/256-entry production = 6.3 M — still broadcast-trivial).
+    * m×ksub² doubles (8×16² = 2 K at the gate geometry; at production
+    * dims think 96 subspaces × 128² = 1.6 M — still broadcast-trivial;
+    * ksub is capped at 128 by the signed-byte code layout, see
+    * [[pqCodebooks]]).
     * Symmetric distance computation is FAISS's all-quantized mode: when
     * only the at-rest codes exist on BOTH sides (self-search over a PQ
     * lake table, no float read at all), dist(x,y) ≈ ||x̂ − ŷ||² — the
@@ -455,9 +467,7 @@ object Quantize {
     val dist = graft.functions.VecExprs.sdcDist(col("a.c"), col("b.c"), pqSdcTable(cb))
     val pairs = e.as("a").join(e.as("b"), joinCond)
       .select(col("a.id").as("qid"), col("b.id").as("pid"), dist.as("dist"))
-    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("pid").asc)
-    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select("qid", "rnk", "pid", "dist")
+    rankTopK(pairs, "dist", ascending = true, k, Seq("qid", "rnk", "pid", "dist"))
   }
 
   /** Column-HOF reference twin of [[annPqSdc]]'s scoring (interpreted
@@ -487,9 +497,7 @@ object Quantize {
       lit(0.0), (acc, x) => acc + x)
     val pairs = e.as("a").join(e.as("b"), joinCond)
       .select(col("a.id").as("qid"), col("b.id").as("pid"), dist.as("dist"))
-    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("pid").asc)
-    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select("qid", "rnk", "pid", "dist")
+    rankTopK(pairs, "dist", ascending = true, k, Seq("qid", "rnk", "pid", "dist"))
   }
 
   /** SQ8 codes packed as BINARY — one signed byte per dimension, the
@@ -523,9 +531,8 @@ object Quantize {
       .select(col("a.id").as("qid"), col("b.id").as("pid"), qdot.as("qdot"),
         (col("a.qn") * col("b.qn")).as("qn2"))
       .withColumn("cos_q", col("qdot").cast("double") / sqrt(col("qn2").cast("double")))
-    val w = Window.partitionBy("qid").orderBy(col("cos_q").desc, col("pid").asc)
-    pairs.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select("qid", "rnk", "pid", "qdot", "cos_q")
+    rankTopK(pairs, "cos_q", ascending = false, k,
+      Seq("qid", "rnk", "pid", "qdot", "cos_q"))
   }
 
   /** JVM twin of [[graft.functions.FloatVecSq8]] + the integer self-norm:

@@ -100,9 +100,13 @@ class LakeSpec extends SparkSpec {
     joined.foreach { r =>
       val v = r.getSeq[Float](1)
       val va = r.getSeq[Double](2)
-      val s = r.getFloat(3).toDouble
+      val s = r.getDouble(3)
+      // the at-rest scale is the exact double the codes were computed
+      // against, so the true SQ8 bound holds (half-ulp slack for the
+      // code*scale product only — the old float-rounded scale needed a
+      // 1e-6*s fudge here, which was the bug)
       v.zip(va).foreach { case (x, y) =>
-        assert(math.abs(x.toDouble - y) <= s / 2 + 1e-6 * s)
+        assert(math.abs(x.toDouble - y) <= s / 2 + 1e-12 * s)
       }
     }
     // codes round-trip bit-exactly through the binary layout
