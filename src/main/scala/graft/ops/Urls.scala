@@ -128,12 +128,22 @@ object Urls {
     * PSL algorithm: the registrable domain is the public suffix plus one
     * more label, where the MATCHING RULE IS THE LONGEST of (exact entries,
     * `*.parent` wildcards minus `!` exceptions, and the default rule that
-    * any TLD is a suffix). Pure column expressions — each candidate
-    * suffix length is one `slice`+`concat_ws` probe into an `isin` set
-    * (InSet after optimization), so the lookup codegens and never leaves
-    * the projection. A host that IS a public suffix (or a single label,
-    * or an all-numeric IPv4 literal) passes through unchanged. */
-  def registeredDomain(hostCol: Column): Column = {
+    * any TLD is a suffix). Runs as the JVM expression
+    * [[graft.functions.RegisteredDomain]] (rule sets as plain references):
+    * the column-tower spelling below pushed whole-stage codegen past the
+    * 64 KB method limit at the full ~1235-rule snapshot, dropping entire
+    * stages to the interpreted path — the expression keeps the stage
+    * codegen'd and interprets only this call. Bit-parity with the tower
+    * asserted in UrlsSpec. A host that IS a public suffix (or a single
+    * label, or an all-numeric IPv4 literal) passes through unchanged. */
+  def registeredDomain(hostCol: Column): Column =
+    graft.functions.RegisteredDomain.column(
+      hostCol, pslExact, pslWildcardParents, pslExceptions, pslMaxLabels)
+
+  /** Column-expression reference twin of [[registeredDomain]] — per-label-
+    * count `isin` probes in a CASE tower; generated-code size grows with
+    * the rule count (the 64 KB hazard above), so spec/parity use only. */
+  def registeredDomainRef(hostCol: Column): Column = {
     val labels = split(hostCol, "\\.")
     val n = size(labels)
     def lastK(k: Int): Column = concat_ws(".", slice(labels, -k, k))

@@ -101,6 +101,31 @@ object SimilarityQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // PQ-SDC (FAISS's all-quantized mode): BOTH sides are codes — the
+    // shape of self-search over a PQ lake table where no float column
+    // exists at all; distance = sum of centroid-pair subspace L2s looked
+    // up in the m×ksub² SDC table (native codegen'd BytesSdcDist). The
+    // oracle adds one centroid-pair distance CTE to the q70 encode replay.
+    "q73_ann_pq_sdc" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.ops.Quantize.pqCodebooks(
+        emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("v")),
+        m = 8, ksub = 16)
+      val bcCb = s.sparkContext.broadcast(cb)
+      // encode to the at-rest byte layout in-query (the lake writer's
+      // kernel), then search the codes alone
+      import s.implicits._
+      val quant = emb.select(col("vec_id").cast("long"), col("label"), col("embedding"))
+        .map { r =>
+          (r.getLong(0), r.getInt(1),
+            graft.ops.Quantize.pqEncodeKernel(r.getSeq[Float](2).toArray, bcCb.value)
+              .map(_.toByte))
+        }.toDF("vec_id", "label", "codes")
+      graft.ops.Quantize.annPqSdc(quant, cb, "vec_id", "codes", 2, Some("label"))
+        .orderBy("qid", "rnk")
+    }),
+
     // the ANN scale path: banded multi-table SRP-LSH candidates (equi-join
     // on (band, bandkey) — never all-pairs), exact cosine re-rank of
     // candidates only. The oracle runs the identical algorithm in DuckDB.
@@ -281,6 +306,30 @@ object SimilarityQueries {
          pairs0 AS (SELECT p.qid, a.pid FROM probes p JOIN assign a
            ON a.list = p.list AND a.pid <> p.qid),
          $pqAdcRankSql""",
+    "q73_ann_pq_sdc" ->
+      s"""WITH $pqEncSql,
+         cdt AS (SELECT a.s, a.li AS i, b.li AS j,
+             list_reduce(list_transform(list_zip(a.cv, b.cv),
+               l -> (CAST(l[1] AS DOUBLE) - CAST(l[2] AS DOUBLE))
+                  * (CAST(l[1] AS DOUBLE) - CAST(l[2] AS DOUBLE))),
+               (x,y) -> x + y) AS dv
+           FROM cs a JOIN cs b ON a.s = b.s),
+         pairs0 AS (SELECT a.vec_id AS qid, b.vec_id AS pid
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         terms AS (SELECT p.qid, p.pid, eq.s, t.dv
+           FROM pairs0 p
+           JOIN enc eq ON eq.vec_id = p.qid
+           JOIN enc ep ON ep.vec_id = p.pid AND ep.s = eq.s
+           JOIN cdt t ON t.s = eq.s AND t.i = eq.code AND t.j = ep.code),
+         pd AS (SELECT qid, pid,
+             list_reduce(list(dv ORDER BY s), (a,b) -> a + b) AS dist
+           FROM terms GROUP BY qid, pid)
+         SELECT qid, CAST(rn AS INTEGER) AS rnk, pid, dist FROM
+           (SELECT qid, pid, dist,
+              row_number() OVER (PARTITION BY qid ORDER BY dist ASC, pid ASC) AS rn
+            FROM pd)
+         WHERE rn <= 2 ORDER BY qid, rnk""",
     "q72_ann_ivfpq_rerank" ->
       s"""WITH $ivfAssignSql,
          $pqEncSql,

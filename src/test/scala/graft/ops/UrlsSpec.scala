@@ -137,4 +137,27 @@ class UrlsSpec extends SparkSpec {
     val once = canon(messy: _*)
     canon(once: _*) shouldBe once
   }
+
+  test("native registered domain is identical to the column-tower reference twin") {
+    import spark.implicits._
+    // one host per rule family: default rule, exact multi-label suffix,
+    // wildcard, exception, exception-is-registrable, pass-throughs
+    val hosts = Seq(
+      "example.com", "a.b.example.co.uk", "foo.bar.kawasaki.jp",
+      "city.kawasaki.jp", "x.city.kawasaki.jp", "www.ck", "a.www.ck",
+      "mybucket.s3.amazonaws.com", "x.blogspot.com", "single",
+      "co.uk", "192.168.0.1", "deep.a.b.c.example.org")
+    val df = hosts.toDF("h")
+    val native = df.select(Urls.registeredDomain(col("h"))).collect().map(_.getString(0))
+    val ref = df.select(Urls.registeredDomainRef(col("h"))).collect().map(_.getString(0))
+    native.toSeq shouldBe ref.toSeq
+    // and across a generated corpus exercising label counts 1..6
+    val gen = (0 until 300).map { i =>
+      (0 to i % 6).map(j => s"l$j").mkString(".") + (i % 3 match {
+        case 0 => ".com"; case 1 => ".co.uk"; case 2 => ".kawasaki.jp" })
+    }.toDF("h")
+    val ng = gen.select(Urls.registeredDomain(col("h"))).collect().map(_.getString(0))
+    val rg = gen.select(Urls.registeredDomainRef(col("h"))).collect().map(_.getString(0))
+    ng.toSeq shouldBe rg.toSeq
+  }
 }
