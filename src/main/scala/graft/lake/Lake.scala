@@ -169,8 +169,10 @@ object Lake {
 
   /** SQ8-quantized AT-REST layout for an embedding table: codes packed as
     * BINARY (one signed byte per dimension — the 4× size win is physical
-    * parquet bytes, not an encoding artifact) plus the per-vector float
-    * scale, which is all reconstruction needs (v̂_i = code_i · scale).
+    * parquet bytes, not an encoding artifact) plus the per-vector scale
+    * AS DOUBLE — the exact value the codes were computed against, which
+    * is all reconstruction needs (v̂_i = code_i · scale) and what keeps
+    * the |v − v̂| ≤ scale/2 bound true (a float-rounded copy broke it).
     * Quantized cosine runs DIRECTLY off this layout
     * ([[graft.ops.Quantize.annSq8FromCodes]]) — scales cancel — so the
     * ANN scan/shuffle moves a quarter of the bytes; end-to-end scan+score

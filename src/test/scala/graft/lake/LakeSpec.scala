@@ -93,7 +93,7 @@ class LakeSpec extends SparkSpec {
     emb.write.parquet(fPath)
     val back = Lake.readQuantizedEmbeddings(spark, qPath)
     back.count() shouldBe 2000L
-    // reconstruction error within the SQ8 bound (float-rounded scale eps)
+    // reconstruction error within the exact SQ8 bound (double scale at rest)
     val joined = back.join(emb, "vec_id")
       .select(col("vec_id"), col("embedding"), col("vec_approx"), col("scale"))
       .collect()
