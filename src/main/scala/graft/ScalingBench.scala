@@ -129,8 +129,16 @@ object ScalingBench {
           spark.read.parquet(fDir), "id", "v", pDir, m = dim / 8, ksub = 16,
           extraCols = Seq("blk"))
       }
-      def dirBytes(p: String): Long = new java.io.File(p).listFiles()
-        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      // recursive so pq_bytes includes the _codebook sidecar — it is part
+      // of the self-describing layout (ADVICE r05: top-level-only counting
+      // slightly overstated the PQ at-rest ratio)
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) f.length()
+          else 0L
+        walk(new java.io.File(p))
+      }
       val (pqDf, pqCb) = graft.lake.Lake.readPqEmbeddings(spark, pDir)
       def floatArm(): Long = graft.ops.Similarity.cosineTopK(
         spark.read.parquet(fDir), "id", "v", 1, Some("blk")).count()

@@ -479,6 +479,10 @@ case class BytesSdcDist(left: Expression, right: Expression,
     var acc = 0.0
     var s = 0
     while (s < x.length) {
+      // range-check the CODE VALUES too (ADVICE r05): a corrupt or
+      // codebook-mismatched at-rest byte must yield null like every other
+      // ragged input in this file, not an ArrayIndexOutOfBounds task crash
+      if (x(s) < 0 || x(s) >= ksub || y(s) < 0 || y(s) >= ksub) return null
       acc += flat((s * ksub + x(s)) * ksub + y(s))
       s += 1
     }
@@ -490,15 +494,20 @@ case class BytesSdcDist(left: Expression, right: Expression,
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val s = ctx.freshName("s")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       s"""
          |if ($a.length != $b.length || $a.length * $ksub * $ksub != $tblRef.length) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $acc = 0.0;
+         |  boolean $bad = false;
          |  for (int $s = 0; $s < $a.length; $s++) {
+         |    if ($a[$s] < 0 || $a[$s] >= $ksub || $b[$s] < 0 || $b[$s] >= $ksub) {
+         |      $bad = true; break;
+         |    }
          |    $acc += $tblRef[($s * $ksub + $a[$s]) * $ksub + $b[$s]];
          |  }
-         |  ${ev.value} = $acc;
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

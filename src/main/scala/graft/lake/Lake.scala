@@ -218,26 +218,18 @@ object Lake {
   def writePqEmbeddings(emb: DataFrame, idCol: String, vecCol: String,
                         path: String, m: Int, ksub: Int,
                         extraCols: Seq[String] = Seq.empty): Unit = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     val spark = emb.sparkSession
+    // this layout packs one code per SIGNED byte — the storage-tier cap
+    require(ksub <= 128,
+      s"ksub=$ksub exceeds the signed-byte code range of the binary layout")
     val cb = graft.ops.Quantize.pqCodebooks(
       emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), m, ksub)
-    val bcCb = spark.sparkContext.broadcast(cb)
-    val src = emb.select((Seq(col(idCol), col(vecCol)) ++ extraCols.map(col)): _*)
-    val outSchema = StructType(
-      Seq(src.schema.head,
-        StructField("codes", BinaryType, nullable = false)) ++
-      src.schema.drop(2))
-    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val quant = src.mapPartitions { it =>
-      it.map { r =>
-        val codes = graft.ops.Quantize
-          .pqEncodeKernel(r.getSeq[Float](1).toArray, bcCb.value)
-          .map(_.toByte)
-        Row(Seq(r.get(0), codes) ++ (2 until r.length).map(r.get): _*)
-      }
-    }
+    // native codegen'd encode projection (round 6 — same pqEncodeKernel,
+    // no mapPartitions row codec; the scan→encode→write fuses into one
+    // codegen stage)
+    val quant = emb.select((Seq(col(idCol),
+      graft.functions.AnnExprs.pqEncodeBytes(col(vecCol), cb).as("codes")) ++
+      extraCols.map(col)): _*)
     quant.write.mode("overwrite").parquet(path)
     // codebook sidecar: one row per (subspace, entry), draw-rank ordered
     val cbRows = for (s <- cb.indices; j <- cb(s).indices)
@@ -253,6 +245,9 @@ object Lake {
                        path: String): (DataFrame, Array[Array[Array[Float]]]) = {
     val cbRows = spark.read.parquet(s"$path/_codebook")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    // self-describing-table contract (ADVICE r05): fail with a clear
+    // message instead of an opaque empty-collection max
+    require(cbRows.nonEmpty, s"no _codebook sidecar rows under $path")
     val m = cbRows.map(_._1).max + 1
     val cb = Array.tabulate(m) { s =>
       cbRows.filter(_._1 == s).sortBy(_._2).map(_._3)

@@ -43,6 +43,7 @@ object Dedup {
       .join(voc, "token")
       .select("id", "vid")
 
+
   /** MinHash signatures: numHashes universal-hash minima per doc.
     * h_j(v) = ((v+1)·(2654435761 + 2j) + j·7919) mod (2^31−1).
     * Two traps this form avoids (both found by the planted-pair spec):
@@ -121,15 +122,27 @@ object Dedup {
     * boilerplate grams are not near-duplicates. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String, n: Int,
                    dfCap: Long): DataFrame = {
+    // round 6: the df cap is computed as a COUNT WINDOW over the gram key
+    // instead of a separate aggregate + join-back. The join form needed
+    // the gram table twice (count branch + join branch) and every
+    // downstream consumer (sizes + both self-join sides) duplicated that
+    // whole subtree — 16 parquet scans / 8 tokenize+explode+distinct
+    // copies in the round-5 q26 plan. With the window form every consumer
+    // shares ONE identical exchange-on-gram subtree, which Catalyst
+    // computes once and rereads as ReusedExchange — and the gram self-join
+    // inherits the window's hash-partitioning, adding no exchange of its
+    // own. (A persist() of the gram table was measured SLOWER at sf0.1 —
+    // the columnar cache encode of corpus strings costs more than the
+    // shuffle-reuse, and the window needs no cache at any scale.)
     val grams = docs.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("i", explode(sequence(lit(0), size(col("toks")) - n)))
       .select(col("id"),
         array_join(slice(col("toks"), col("i") + 1, lit(n)), " ").as("gram"))
       .distinct()
-    val keptGrams = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-      .where(col("df") <= dfCap).select("gram")
-    val kept = grams.join(keptGrams, "gram")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val kept = grams.withColumn("_df", count(lit(1)).over(w))
+      .where(col("_df") <= dfCap).drop("_df")
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("sz"))
     // rename on independent projections — same-lineage self-joins silently
     // mis-resolve the a<b predicate

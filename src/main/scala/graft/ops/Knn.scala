@@ -52,6 +52,11 @@ object Knn {
               ci: CellIndex, level: Int = -1, excludeSelf: Boolean = true,
               maxRounds: Int = 8, maxExhaustQueries: Long = 65536L): DataFrame = {
     val spark = queries.sparkSession
+    // ONE persisted copy of the raw points; the cell key is two shifts +
+    // a pack — recomputed per round as a projection over the cache
+    // (round 6: the previous second persist of a with-cells copy cost a
+    // full extra materialization pass + double storage, and the coarsen
+    // path re-materialized it again per level change).
     val pts0 = points
       .select(col("pid"), col("x").as("px"), col("y").as("py"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -60,7 +65,7 @@ object Knn {
     var cs = ci.cellSize(lvl)
     var n = 1L << lvl
 
-    def withCells(p: DataFrame, l: Int): DataFrame = p
+    def ptsCells(l: Int): DataFrame = pts0
       .withColumn("pcell", CellIndex.packCol(l,
         ci.colOfCol(col("px"), l), ci.rowOfCol(col("py"), l)))
 
@@ -70,10 +75,6 @@ object Knn {
     // persist stops recomputation, and after ~10 rounds plan stringification
     // alone OOMs the driver.
     def barrier(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
-
-    var pts = withCells(pts0, lvl).persist(StorageLevel.MEMORY_AND_DISK)
-    pts.count()
-    pts0.unpersist(false)
 
     var remaining = queries
       .select(col("qid"), col("x").as("qx"), col("y").as("qy"),
@@ -85,7 +86,6 @@ object Knn {
     var remCount = remaining.count()
 
     var results: DataFrame = null
-    val roundCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var r = 1L
     var round = 0
     var done = false
@@ -106,11 +106,6 @@ object Knn {
           lvl = math.max(0, lvl - 2)
           cs = ci.cellSize(lvl)
           n = 1L << lvl
-          val pts2 = withCells(pts.drop("pcell"), lvl)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          pts2.count()
-          pts.unpersist(false)
-          pts = pts2
           val rem2 = barrier(remaining.drop("qc", "qr")
             .withColumn("qc", ci.colOfCol(col("qx"), lvl))
             .withColumn("qr", ci.rowOfCol(col("qy"), lvl)))
@@ -123,14 +118,14 @@ object Knn {
         }
       })
       val base =
-        if (worldCovered) remaining.join(pts)
+        if (worldCovered) remaining.join(pts0)
         else remaining
           .withColumn("_cell", explode(flatten(transform(
             sequence(greatest(col("qc") - r, lit(0L)), least(col("qc") + r, lit(n - 1))),
             c => transform(
               sequence(greatest(col("qr") - r, lit(0L)), least(col("qr") + r, lit(n - 1))),
               rr => CellIndex.packCol(lvl, c, rr))))))
-          .join(pts, col("_cell") === col("pcell"))
+          .join(ptsCells(lvl), col("_cell") === col("pcell"))
       val cand = base
         .where(if (excludeSelf) col("qid") =!= col("pid") else lit(true))
         .withColumn("dist2",
@@ -151,12 +146,20 @@ object Knn {
       // how many queries settled this round
       val settledCnt = ranked.where(col("settled")).count()
 
-      val settledRows = barrier(ranked.where(col("settled"))
+      // Round results go straight to an EAGER localCheckpoint (round 6):
+      // the blocks belong to the RDD and are freed by the ContextCleaner
+      // when the caller drops the returned frame — no per-round
+      // CacheManager entry to track, and no extra end-of-loop
+      // re-materialization pass over the unioned result (the previous
+      // persist-then-final-localCheckpoint shape paid one full copy more).
+      val srDf = ranked.where(col("settled"))
         .select(col("qid"), explode(col("topk")).as("t"))
-        .select(col("qid"), col("t.rank"), col("t.pid"), col("t.dist2")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      settledRows.count() // materialize before the inputs below it are dropped
-      roundCaches += settledRows
+        .select(col("qid"), col("t.rank"), col("t.pid"), col("t.dist2"))
+      val srSchema = srDf.schema
+      val srRdd = srDf.rdd
+      srRdd.localCheckpoint()
+      srRdd.count() // materialize before the inputs below it are dropped
+      val settledRows = spark.createDataFrame(srRdd, srSchema)
       results = if (results == null) settledRows else results.unionByName(settledRows)
 
       if (worldCovered || settledCnt == remCount) {
@@ -177,17 +180,7 @@ object Knn {
         else { remaining = next; remCount = nLeft; r *= 2 }
       }
     }
-    pts.unpersist(false)
-    // Materialize the final result once via localCheckpoint, then release
-    // every per-round cache EAGERLY. localCheckpoint blocks belong to the
-    // RDD and are freed by the ContextCleaner when the caller drops the
-    // returned frame — unlike CacheManager entries, which the round-1/2
-    // hygiene audits found pinned until LRU pressure.
-    val outSchema = results.schema
-    val ckRdd = results.rdd
-    ckRdd.localCheckpoint()
-    ckRdd.count()
-    roundCaches.foreach(_.unpersist(false))
-    spark.createDataFrame(ckRdd, outSchema)
+    pts0.unpersist(false)
+    results
   }
 }

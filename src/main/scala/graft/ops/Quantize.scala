@@ -49,6 +49,22 @@ object Quantize {
   private def codeNorm2(codes: Column): Column =
     graft.functions.VecExprs.dotL(codes, codes)
 
+  /** Evaluation barrier for an expensive projected column feeding the
+    * STREAMED side of a hash join (round 6; found via the generated code
+    * of the q73 join stage): whole-stage codegen defers a streamed
+    * column's evaluation to its first USE, and a column consumed only
+    * ABOVE the join is first used INSIDE the per-match loop — the
+    * projection then re-runs once per PAIR instead of once per row
+    * (measured 3-4× on the q70/q73 encode/LUT kernels). A single-element
+    * `explode(array(col))` inserts a Generate operator, which evaluates
+    * its generator input — and therefore the column — exactly once per
+    * input row; the join then reads the materialized value. Zero storage,
+    * zero exchange, zero extra pass (unlike a persist() barrier), and the
+    * reason the IVF variants — whose probe side explodes its list array
+    * anyway — never exhibited the per-pair re-evaluation. */
+  private[graft] def evalBarrier(df: DataFrame, c: String): DataFrame =
+    df.withColumn(c, explode(array(col(c))))
+
   /** The rank tail every ANN method in this object shares: top-k per
     * query over candidate pairs, deterministic tie-break (score order,
     * then pid asc). One definition so a tie-break or rank change cannot
@@ -61,11 +77,20 @@ object Quantize {
       .select(outCols.map(col): _*)
   }
 
-  /** ADC distance column shared by [[annPq]]/[[annIvfPq]]: codes zipped
-    * positionally with the per-query LUT, each code's table entry picked
-    * with 1-based `element_at`, folded left-to-right from 0.0 — the
-    * exact grouping the DuckDB oracle's `list_reduce` replays. */
+  /** ADC distance column shared by [[annPq]]/[[annIvfPq]]: the native
+    * codegen'd [[graft.functions.IntVecAdcDist]] — m table lookups folded
+    * left-to-right from 0.0 in subspace order, inlined into the join's
+    * whole-stage codegen (round 6; the HOF spelling below is the
+    * SQL-portable reference twin, bit-parity asserted in QuantizeSpec). */
   private def adcDistCol(codes: Column, lut: Column): Column =
+    graft.functions.AnnExprs.adcDist(codes, lut)
+
+  /** column-HOF reference twin of [[adcDistCol]] (the exact grouping the
+    * DuckDB oracle's `list_reduce` replays: 1-based `element_at` per
+    * code, left-to-right fold from 0.0) — spec/oracle use only; a
+    * CodegenFallback interpreted per pair, which is why the native
+    * expression is the production path. */
+  def adcDistColRef(codes: Column, lut: Column): Column =
     aggregate(zip_with(codes, lut, (c, l) => element_at(l, c + lit(1))),
       lit(0.0), (acc, x) => acc + x)
 
@@ -123,41 +148,28 @@ object Quantize {
     * Output (qid, rnk, pid, qdot, cos_q) like [[annSq8]]. */
   def annIvfSq8(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                 nLists: Int, nProbe: Int): DataFrame = {
-    val spark = emb.sparkSession
+    import graft.functions.{AnnExprs, VecExprs}
     val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     // coarse quantizer: identical draw + exact-cosine ranking to annIvf so
     // the two indexes share list structure (and the q41 oracle technique);
     // [[Similarity.ivfCentroids]] also offers k-means refinement there
-    val bcC = spark.sparkContext.broadcast(Similarity.ivfCentroids(e, nLists))
-
-    def nearestLists(v: Array[Float], m: Int): Array[Int] =
-      Similarity.nearestIn(bcC.value, v, m)
-    // quantize ONCE, inside the same partition-local pass as the list
-    // assignment (the JVM kernel is the native FloatVecSq8 expression's
-    // twin — identical IEEE-754 op sequence, asserted in QuantizeSpec);
-    // only codes + integer norms flow into the join
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val qSchema = StructType(Seq(
-      StructField("list", IntegerType), StructField("id", LongType),
-      StructField("c", ArrayType(LongType, containsNull = false)),
-      StructField("qn", LongType)))
-    implicit val qEnc = org.apache.spark.sql.Encoders.row(qSchema)
-    val lists = e.mapPartitions { it =>
-      it.map { r =>
-        val v = r.getSeq[Float](1).toArray
-        val (c, qn) = sq8Kernel(v)
-        Row(nearestLists(v, 1).head, r.getLong(0), c.toSeq, qn)
-      }
-    }.select(col("list"), col("id").as("pid"), col("c").as("pc"), col("qn").as("pn"))
-    val probes = e.mapPartitions { it =>
-      it.flatMap { r =>
-        val v = r.getSeq[Float](1).toArray
-        val (c, qn) = sq8Kernel(v)
-        val cs = c.toSeq
-        nearestLists(v, nProbe).iterator.map(li => Row(li, r.getLong(0), cs, qn))
-      }
-    }.select(col("list"), col("id").as("qid"), col("c").as("qc"), col("qn").as("qnn"))
+    val cents = Similarity.ivfCentroids(e, nLists)
+    // round 6: list assignment + quantization as native codegen'd
+    // projections (the expressions call the SAME kernels — nearestIn /
+    // the FloatVecSq8 loop — so codes and list ids are unchanged) instead
+    // of mapPartitions row kernels: no DeserializeToObject/
+    // SerializeFromObject codec per corpus row, and each side fuses into
+    // one whole-stage-codegen'd scan→project stage feeding the join.
+    // Only codes + integer norms flow into the join, as before.
+    val lists = evalBarrier(e
+      .select(AnnExprs.nearestList(col("v"), cents).as("list"),
+        col("id").as("pid"), VecExprs.sq8(col("v")).as("pc"))
+      .withColumn("pn", VecExprs.dotL(col("pc"), col("pc"))), "pc")
+    val probes = e
+      .select(col("id").as("qid"), VecExprs.sq8(col("v")).as("qc"),
+        AnnExprs.nearestLists(col("v"), cents, nProbe).as("ls"))
+      .select(col("qid"), col("qc"), VecExprs.dotL(col("qc"), col("qc")).as("qnn"),
+        explode(col("ls")).as("list"))
     val qdot = graft.functions.VecExprs.dotL(col("qc"), col("pc"))
     val pairs = probes.join(lists, "list")
       .where(col("qid") =!= col("pid"))
@@ -227,11 +239,20 @@ object Quantize {
     * rows, never a collect of the corpus. Returns m × ksub × (D/m). */
   def pqCodebooks(e: DataFrame, m: Int, ksub: Int): Array[Array[Array[Float]]] = {
     // the at-rest tier packs one code per SIGNED byte (Lake.writePqEmbeddings
-    // / BytesSdcDist): ksub <= 128 keeps codes in [0,127]; a 256-entry
-    // codebook needs an unsigned decode tier that does not exist yet
-    require(ksub >= 1 && ksub <= 128,
-      s"ksub=$ksub out of the signed-byte code range [1,128]")
-    val seeds = Similarity.ivfCentroids(e, ksub) // (rank, vec, norm), rank 0-based
+    // / BytesSdcDist): THOSE call sites require ksub <= 128; the array<int>
+    // scoring tier (annPq/annIvfPq) supports the standard 8-bit FAISS
+    // geometry up to ksub = 256 (ADVICE r05: the signed-byte cap is a
+    // property of the storage tier, not of PQ itself)
+    require(ksub >= 1 && ksub <= 256, s"ksub=$ksub out of range [1,256]")
+    pqCodebooksFromSeeds(Similarity.ivfCentroids(e, ksub), m)
+  }
+
+  /** Slice an existing hash-strided seed draw (the first `ksub` rows of
+    * any [[Similarity.ivfCentroids]] result — the draw is prefix-stable)
+    * into `m` per-subspace codebooks. Lets [[annIvfPq]] share ONE corpus
+    * TakeOrdered between the coarse quantizer and the codebooks. */
+  def pqCodebooksFromSeeds(seeds: Array[(Int, Array[Float], Double)],
+                           m: Int): Array[Array[Array[Float]]] = {
     val dim = seeds.head._2.length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val dsub = dim / m
@@ -302,42 +323,27 @@ object Quantize {
     * code per corpus row and ~ksub·m doubles per query row. */
   def annPq(emb: DataFrame, idCol: String, vecCol: String, k: Int,
             m: Int, ksub: Int, blockCol: Option[String] = None): DataFrame = {
-    val spark = emb.sparkSession
+    import graft.functions.AnnExprs
     val baseCols = Seq(col(idCol).cast("long").as("id"), col(vecCol).as("v")) ++
       blockCol.map(c => col(c).as("blk"))
     val e = emb.select(baseCols: _*)
-    val bcCb = spark.sparkContext.broadcast(
-      pqCodebooks(emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), m, ksub))
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
+    val cb = pqCodebooks(
+      emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), m, ksub)
+    // round 6: encode/LUT as native codegen'd projections (the expressions
+    // call pqEncodeKernel/pqLutKernel verbatim — codes and tables are
+    // unchanged; the codebook rides along as a codegen reference object)
+    // instead of mapPartitions row kernels: no row codec per corpus row,
+    // both sides fuse into single scan→project codegen stages.
     val hasBlk = blockCol.isDefined
-    val blkField = if (hasBlk) Seq(StructField("blk",
-      e.schema.find(_.name == "blk").get.dataType)) else Nil
-    val codesSchema = StructType(Seq(StructField("id", LongType),
-      StructField("codes", ArrayType(IntegerType, containsNull = false))) ++ blkField)
-    val lutSchema = StructType(Seq(StructField("id", LongType),
-      StructField("lut", ArrayType(ArrayType(DoubleType, containsNull = false),
-        containsNull = false))) ++ blkField)
-    implicit val cEnc = org.apache.spark.sql.Encoders.row(codesSchema)
-    val corpus = e.mapPartitions { it =>
-      it.map { r =>
-        val vals = Seq(r.getLong(0),
-          pqEncodeKernel(r.getSeq[Float](1).toArray, bcCb.value).toSeq) ++
-          (if (hasBlk) Seq(r.get(2)) else Nil)
-        Row(vals: _*)
-      }
-    }(cEnc).select((Seq(col("id").as("pid"), col("codes")) ++
-      (if (hasBlk) Seq(col("blk")) else Nil)): _*)
-    implicit val lEnc = org.apache.spark.sql.Encoders.row(lutSchema)
-    val queries = e.mapPartitions { it =>
-      it.map { r =>
-        val vals = Seq(r.getLong(0),
-          pqLutKernel(r.getSeq[Float](1).toArray, bcCb.value).map(_.toSeq).toSeq) ++
-          (if (hasBlk) Seq(r.get(2)) else Nil)
-        Row(vals: _*)
-      }
-    }(lEnc).select((Seq(col("id").as("qid"), col("lut")) ++
-      (if (hasBlk) Seq(col("blk")) else Nil)): _*)
+    // evalBarrier on both sides: either side may be planned as the
+    // streamed side of the block join, and an unbarriered encode/LUT
+    // would re-run per PAIR in the join's match loop (see [[evalBarrier]])
+    val corpus = evalBarrier(e.select((Seq(col("id").as("pid"),
+      AnnExprs.pqEncode(col("v"), cb).as("codes")) ++
+      (if (hasBlk) Seq(col("blk")) else Nil)): _*), "codes")
+    val queries = evalBarrier(e.select((Seq(col("id").as("qid"),
+      AnnExprs.pqLut(col("v"), cb).as("lut")) ++
+      (if (hasBlk) Seq(col("blk")) else Nil)): _*), "lut")
     val joined =
       if (hasBlk) queries.join(corpus, "blk").where(col("qid") =!= col("pid"))
       else queries.crossJoin(corpus).where(col("qid") =!= col("pid"))
@@ -363,36 +369,25 @@ object Quantize {
     * assignment × the q70 encode/ADC, end to end. */
   def annIvfPq(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                nLists: Int, nProbe: Int, m: Int, ksub: Int): DataFrame = {
-    val spark = emb.sparkSession
+    import graft.functions.AnnExprs
     val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val bcC = spark.sparkContext.broadcast(Similarity.ivfCentroids(e, nLists))
-    val bcCb = spark.sparkContext.broadcast(pqCodebooks(e, m, ksub))
-    def nearestLists(v: Array[Float], n: Int): Array[Int] =
-      Similarity.nearestIn(bcC.value, v, n)
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    val codesSchema = StructType(Seq(StructField("list", IntegerType),
-      StructField("id", LongType),
-      StructField("codes", ArrayType(IntegerType, containsNull = false))))
-    val lutSchema = StructType(Seq(StructField("list", IntegerType),
-      StructField("id", LongType),
-      StructField("lut", ArrayType(ArrayType(DoubleType, containsNull = false),
-        containsNull = false))))
-    implicit val cEnc = org.apache.spark.sql.Encoders.row(codesSchema)
-    val lists = e.mapPartitions { it =>
-      it.map { r =>
-        val v = r.getSeq[Float](1).toArray
-        Row(nearestLists(v, 1).head, r.getLong(0), pqEncodeKernel(v, bcCb.value).toSeq)
-      }
-    }(cEnc).select(col("list"), col("id").as("pid"), col("codes"))
-    implicit val lEnc = org.apache.spark.sql.Encoders.row(lutSchema)
-    val probes = e.mapPartitions { it =>
-      it.flatMap { r =>
-        val v = r.getSeq[Float](1).toArray
-        val lut = pqLutKernel(v, bcCb.value).map(_.toSeq).toSeq
-        nearestLists(v, nProbe).iterator.map(li => Row(li, r.getLong(0), lut))
-      }
-    }(lEnc).select(col("list"), col("id").as("qid"), col("lut"))
+    // round 6: ONE hash-strided TakeOrdered draw serves both the coarse
+    // quantizer (first nLists seeds) and the PQ codebooks (first ksub) —
+    // the draw is a prefix-stable ordering, so slicing a max(nLists, ksub)
+    // draw is identical to two separate draws, at half the corpus jobs
+    val seeds = Similarity.ivfCentroids(e, math.max(nLists, ksub))
+    val cents = seeds.take(nLists)
+    val cb = pqCodebooksFromSeeds(seeds.take(ksub), m)
+    // assignment/encode/LUT as native codegen'd projections (same kernels
+    // as round 5's mapPartitions — bit-identical codes/lists/tables),
+    // fused into each side's scan stage; no row codec per corpus row
+    val lists = evalBarrier(
+      e.select(AnnExprs.nearestList(col("v"), cents).as("list"),
+        col("id").as("pid"), AnnExprs.pqEncode(col("v"), cb).as("codes")), "codes")
+    val probes = e.select(col("id").as("qid"),
+        AnnExprs.pqLut(col("v"), cb).as("lut"),
+        AnnExprs.nearestLists(col("v"), cents, nProbe).as("ls"))
+      .select(col("qid"), col("lut"), explode(col("ls")).as("list"))
     val dist = adcDistCol(col("codes"), col("lut"))
     val scored = probes.join(lists, "list")
       .where(col("qid") =!= col("pid"))
@@ -457,6 +452,10 @@ object Quantize {
   def annPqSdc(quant: DataFrame, cb: Array[Array[Array[Float]]],
                idCol: String, codesCol: String, k: Int,
                blockCol: Option[String] = None): DataFrame = {
+    // the SDC tier reads SIGNED-byte codes: 256-entry codebooks need an
+    // unsigned decode that the binary layout does not carry
+    require(cb.head.length <= 128,
+      s"ksub=${cb.head.length} exceeds the signed-byte code range of the binary layout")
     val cols = Seq(col(idCol).cast("long").as("id"),
       col(codesCol).as("c")) ++ blockCol.map(c => col(c).as("blk"))
     val e = quant.select(cols: _*)

@@ -169,9 +169,24 @@ object Similarity extends Serializable {
 
   def annLshBanded(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                    bands: Int, rowsPerBand: Int): DataFrame = {
-    val cand = lshCandidatePairs(emb, idCol, vecCol, bands, rowsPerBand)
-    val directed = cand.unionByName(cand.select(col("b").as("a"), col("a").as("b")))
-      .select(col("a").as("qid"), col("b").as("pid"))
+    // round 6: the directed candidate set {(a,b), (b,a) : a,b share a
+    // band bucket, a ≠ b} is produced DIRECTLY by the (band, bandkey)
+    // self-join with an a ≠ b predicate — one join + one distinct. The
+    // round-5 spelling built the a < b half ([[lshCandidatePairs]]) and
+    // unioned its mirror, which evaluated the whole candidate join+
+    // distinct TWICE (both union branches carry the full subtree) and
+    // shuffled the distinct twice. Same set, half the candidate work.
+    // ([[lshCandidatePairs]] stays as the a < b API for the dedup
+    // pipelines, which genuinely want one row per unordered pair.)
+    val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val sigs = e.select(col("id"),
+      posexplode(graft.functions.VecExprs.srpKeys(col("v"), bands, rowsPerBand))
+        .as(Seq("band", "bkey")))
+    val left = sigs.select(col("id").as("qid"), col("band"), col("bkey"))
+    val right = sigs.select(col("id").as("pid"), col("band"), col("bkey"))
+    val directed = left.join(right, Seq("band", "bkey"))
+      .where(col("qid") =!= col("pid"))
+      .select("qid", "pid").distinct()
     val scored = scorePairs(directed, emb, idCol, vecCol)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("pid").asc)
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
@@ -195,9 +210,10 @@ object Similarity extends Serializable {
     * list into (list, salt) sub-keys — candidate-set-preserving, output
     * identical (asserted in the spec). Recall measured vs brute force in
     * the spec. */
-  /** Nearest `m` centroid list ids by cosine (desc, list asc tie-break). */
-  private[ops] def nearestIn(cents: Array[(Int, Array[Float], Double)],
-                             v: Array[Float], m: Int): Array[Int] = {
+  /** Nearest `m` centroid list ids by cosine (desc, list asc tie-break).
+    * Also the kernel behind [[graft.functions.FloatVecNearestLists]]. */
+  private[graft] def nearestIn(cents: Array[(Int, Array[Float], Double)],
+                               v: Array[Float], m: Int): Array[Int] = {
     var s = 0.0; var d = 0
     while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
     val n = math.sqrt(s)
@@ -272,33 +288,21 @@ object Similarity extends Serializable {
   def annIvf(emb: DataFrame, idCol: String, vecCol: String, k: Int,
              nLists: Int, nProbe: Int, maxListSize: Int = Int.MaxValue,
              kmeansIters: Int = 0): DataFrame = {
+    import graft.functions.AnnExprs
     val spark = emb.sparkSession
     val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val bcC = spark.sparkContext.broadcast(ivfCentroids(e, nLists, kmeansIters))
-
-    def nearestLists(v: Array[Float], m: Int): Array[Int] =
-      nearestIn(bcC.value, v, m)
-
-    val listSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("list", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("v",
-        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
-    implicit val listEnc = org.apache.spark.sql.Encoders.row(listSchema)
-    // vectors keyed by their single nearest list
-    val lists = e.mapPartitions { it =>
-      it.map { r =>
-        val v = r.getSeq[Float](1).toArray
-        Row(nearestLists(v, 1).head, r.getLong(0), r.getSeq[Float](1))
-      }
-    }.withColumnRenamed("id", "pid").withColumnRenamed("v", "pv")
-    // queries probe their nProbe nearest lists
-    val probes = e.mapPartitions { it =>
-      it.flatMap { r =>
-        val v = r.getSeq[Float](1).toArray
-        nearestLists(v, nProbe).iterator.map(li => Row(li, r.getLong(0), r.getSeq[Float](1)))
-      }
-    }.withColumnRenamed("id", "qid").withColumnRenamed("v", "qv")
+    val cents = ivfCentroids(e, nLists, kmeansIters)
+    // round 6: list assignment as a native codegen'd projection (the
+    // expression calls [[nearestIn]] verbatim — identical list ids) in
+    // place of the mapPartitions row kernels, AND the probe join now
+    // carries only (list, id) — the round-5 shape shuffled both sides'
+    // FLOAT VECTORS through the join and then dropped them unread
+    // (scorePairs re-fetches vectors by id); projecting them out cuts the
+    // join payload from ~4·dim bytes/row to 12 (guide §2.3).
+    val lists = e.select(AnnExprs.nearestList(col("v"), cents).as("list"),
+      col("id").as("pid"))
+    val probes = e.select(col("id").as("qid"),
+        explode(AnnExprs.nearestLists(col("v"), cents, nProbe)).as("list"))
     val cand =
       if (maxListSize == Int.MaxValue)
         probes.join(lists, "list")

@@ -112,16 +112,17 @@ object SimilarityQueries {
       val cb = graft.ops.Quantize.pqCodebooks(
         emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("v")),
         m = 8, ksub = 16)
-      val bcCb = s.sparkContext.broadcast(cb)
       // encode to the at-rest byte layout in-query (the lake writer's
-      // kernel), then search the codes alone
-      import s.implicits._
-      val quant = emb.select(col("vec_id").cast("long"), col("label"), col("embedding"))
-        .map { r =>
-          (r.getLong(0), r.getInt(1),
-            graft.ops.Quantize.pqEncodeKernel(r.getSeq[Float](2).toArray, bcCb.value)
-              .map(_.toByte))
-        }.toDF("vec_id", "label", "codes")
+      // kernel, as a native codegen'd projection — round 6: the previous
+      // Dataset.map paid the tuple row codec per vector), then search the
+      // codes alone
+      // evalBarrier: the self-join's streamed side would otherwise
+      // re-encode per PAIR (whole-stage codegen defers the projection
+      // into the join's match loop — see Quantize.evalBarrier)
+      val quant = graft.ops.Quantize.evalBarrier(
+        emb.select(col("vec_id").cast("long").as("vec_id"), col("label"),
+          graft.functions.AnnExprs.pqEncodeBytes(col("embedding"), cb).as("codes")),
+        "codes")
       graft.ops.Quantize.annPqSdc(quant, cb, "vec_id", "codes", 2, Some("label"))
         .orderBy("qid", "rnk")
     }),
