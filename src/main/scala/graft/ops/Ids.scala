@@ -20,10 +20,25 @@ import org.apache.spark.sql.types._
   */
 object Ids {
 
+  /** Plan-stats size (bytes) below which [[denseId]] range-partitions to
+    * ONE partition: RangePartitioner skips its reservoir-sample pass
+    * entirely at numPartitions == 1 (rangeBounds is empty), removing one
+    * full execution of the input subtree per call — a whole job for every
+    * vocab/dense-id build on a dim-sized input (round 6; measured on
+    * q08/q10/q27/q44). Same auto-select idiom as
+    * [[Similarity.BroadcastVecBytes]]: the decision comes from Catalyst's
+    * size estimate, so corpus-scale inputs keep the full partition count —
+    * this is a size threshold, not a local-core-count tune. Override per
+    * session with `graft.ids.singlePartitionBytes`. */
+  val SinglePartitionBytes: Long = 64L << 20
+
   def denseId(df: DataFrame, idName: String, orderCols: Seq[String],
               numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
+    val threshold = spark.conf
+      .get("graft.ids.singlePartitionBytes", SinglePartitionBytes.toString).toLong
     val parts = if (numPartitions > 0) numPartitions
+      else if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)) 1
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val cols = orderCols.map(col)
     // RangePartitioner samples with a per-RDD seed, so two separately

@@ -152,12 +152,11 @@ object SpatialJoins {
     val polyRows = polys.select("poly_id", "wkb").collect()
       .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
     val bc = spark.sparkContext.broadcast(polyRows)
-    val bcId = bc.id
-    val probe = udf { (x: Double, y: Double) =>
-      PipTreeCache.probe(bcId, bc, x, y)
-    }
-    points
-      .withColumn("poly_id", explode(probe(col("x"), col("y"))))
+    // native expression (round 6): primitive-double args straight from the
+    // columnar scan into the probe — the previous ScalaUDF boxed both
+    // coordinates and converter-copied the result array per scanned row
+    points.withColumn("poly_id",
+      explode(graft.functions.PipExprs.pipProbe(col("x"), col("y"), bc.id, bc)))
   }
 
   /** Skew-aware point-in-box (north_rule "salted repartitioning + adaptive

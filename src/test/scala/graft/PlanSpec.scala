@@ -200,4 +200,22 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.io.Warc.records(files))
     assert(!p.contains("Exchange"), p)
   }
+
+  test("PQ index build is a native projection: no row codec, barrier present (round 6)") {
+    // parquet-backed input (an in-memory LocalRelation would be
+    // constant-folded by ConvertToLocalRelation, hiding the projections)
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val df = graft.ops.Quantize.annIvfPq(emb, "vec_id", "embedding", 2,
+      nLists = 16, nProbe = 3, m = 8, ksub = 16)
+    df.collect() // settle AQE
+    val p = df.queryExecution.executedPlan.toString
+    // round-5 shape: DeserializeToObject → MapPartitions → SerializeFromObject
+    // per side; round 6 replaces it with fused native-expression projections
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"), p)
+    assert(p.contains("float_vec_pq_encode") && p.contains("float_vec_pq_lut"), p)
+    assert(p.contains("int_vec_adc_dist"), p)
+    // the evalBarrier explode — without it the streamed side's encode
+    // re-runs once per candidate PAIR inside the join's match loop
+    assert(p.contains("Generate explode"), p)
+  }
 }

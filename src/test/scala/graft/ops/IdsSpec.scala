@@ -25,4 +25,18 @@ class IdsSpec extends SparkSpec {
       .select("k", "nid").collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
   }
+
+  test("stats-adaptive single-partition arm assigns identical ids (round 6)") {
+    val df = spark.range(0, 5000, 1, 8).toDF("k")
+      .withColumn("k", pmod(col("k") * 48271L, lit(99991L)))
+      .distinct()
+    def ids(thresholdBytes: Long): Set[(Long, Long)] = {
+      spark.conf.set("graft.ids.singlePartitionBytes", thresholdBytes.toString)
+      try Ids.denseId(df, "id", Seq("k"))
+        .select("k", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("graft.ids.singlePartitionBytes")
+    }
+    // force the single-partition arm vs the multi-partition arm: same ids
+    assert(ids(Long.MaxValue) == ids(0L))
+  }
 }
