@@ -46,7 +46,12 @@ object BenchExtra {
           val df = fn(spark, sfDir)
           if (action == "noop") df.write.format("noop").mode("overwrite").save()
           else df.count()
-        } catch { case _: Throwable => }
+        } catch { case e: Throwable =>
+          // LOUD failure marker — a silently-timed crash reads as a
+          // miraculous speed-up (learned the hard way in round 6)
+          println(s"""{"mode":"benchextra","FAILED":"$name","err":"${
+            e.toString.take(120).replace('"', '\'')}"}""")
+        }
         val s = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         s

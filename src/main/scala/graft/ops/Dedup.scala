@@ -59,10 +59,19 @@ object Dedup {
     * as SimHash in round 2). The signature array then explodes to the
     * (id, j, mh) layout LSH banding and the q27 oracle consume. */
   def minhash(tokenVids: DataFrame, numHashes: Int): DataFrame =
-    tokenVids.groupBy("id")
-      .agg(MinhashAgg.udafCol(numHashes, col("vid")).as("sig"))
+    minhashSigs(tokenVids, numHashes)
       .select(col("id"), posexplode(col("sig")).as(Seq("j", "mh")))
       .select(col("id"), col("j").cast("int").as("j"), col("mh"))
+
+  /** MinHash signatures in their ARRAY form: (id, sig) with sig(j) the
+    * j-th universal-hash minimum — the typed [[MinhashAgg]] output before
+    * [[minhash]]'s posexplode to the (id, j, mh) row layout. Round-6
+    * addition: band keys are a pure PROJECTION of this array
+    * ([[bandedKeysFromSigs]]), so LSH pipelines that start here skip the
+    * re-aggregation shuffle the exploded layout forces. */
+  def minhashSigs(tokenVids: DataFrame, numHashes: Int): DataFrame =
+    tokenVids.groupBy("id")
+      .agg(MinhashAgg.udafCol(numHashes, col("vid")).as("sig"))
 
   /** (id, band, bandkey) rows from MinHash signatures with bands of 2
     * rows: band key packs the two minima collision-free into one Long. */
@@ -75,6 +84,21 @@ object Dedup {
         min(when(col("slot") === 1, col("mh"))).as("m1"))
       .withColumn("bandkey", col("m0") * MersennePrime + col("m1"))
       .select("id", "band", "bandkey")
+
+  /** [[bandedKeys]] from the ARRAY signature form — a pure projection
+    * (round 6): band b's key packs sig(2b) and sig(2b+1); no shuffle.
+    * The exploded-layout twin above re-aggregates by (id, band) — one
+    * whole extra exchange of the signature table — because the row
+    * layout has already lost the per-id grouping. Identical rows
+    * (asserted in DedupSpec). */
+  private def bandedKeysFromSigs(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"),
+        posexplode(transform(
+          sequence(lit(0), (size(col("sig")) / 2).cast("int") - 1),
+          b => element_at(col("sig"), b * 2 + 1) * MersennePrime +
+            element_at(col("sig"), b * 2 + 2)))
+          .as(Seq("band", "bandkey")))
+      .select(col("id"), col("band").cast("int").as("band"), col("bandkey"))
 
   /** LSH candidate pairs from MinHash signatures. Output distinct (a, b)
     * with a < b — EVERY colliding pair, for pipelines that score each
@@ -102,8 +126,17 @@ object Dedup {
     * pairs to ~20 k edges; at corpus scale a hot band bucket stops being
     * quadratic. One aggregation + one equi-join, both keyed by
     * (band, bandkey). The natural input to [[connectedComponents]]. */
-  def lshComponentEdges(signatures: DataFrame): DataFrame = {
-    val banded = bandedKeys(signatures)
+  def lshComponentEdges(signatures: DataFrame): DataFrame =
+    starEdges(bandedKeys(signatures))
+
+  /** [[lshComponentEdges]] directly from the ARRAY signature form
+    * ([[minhashSigs]]) — band keys are projected, not re-aggregated:
+    * one fewer exchange of the signature table per pipeline (round 6). */
+  def lshComponentEdgesFromSigs(sigs: DataFrame): DataFrame =
+    starEdges(bandedKeysFromSigs(sigs))
+
+  /** bucket-min star edges from (id, band, bandkey) rows */
+  private def starEdges(banded: DataFrame): DataFrame = {
     val bucketMin = banded.groupBy("band", "bandkey").agg(min("id").as("a"))
     banded.join(bucketMin, Seq("band", "bandkey"))
       .where(col("id") =!= col("a"))
@@ -352,10 +385,16 @@ object Dedup {
     val paras = docs.select(col(idCol).cast("long").as("id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "para")))
-    val firsts = paras.groupBy("para")
-      .agg(min(struct(col("id"), col("pos"))).as("f"))
-    val kept = paras.join(firsts, "para")
+    // globally-first occurrence via a MIN WINDOW over the paragraph key
+    // (round 6): the aggregate+join-back spelling needed the paragraph
+    // table twice (once under the firsts agg, once as the join side) —
+    // the window keeps ONE pass keyed by paragraph, and downstream stays
+    // identical. Same min(struct(id, pos)) semantics.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("para")
+    val kept = paras
+      .withColumn("f", min(struct(col("id"), col("pos"))).over(w))
       .where(col("id") === col("f.id") && col("pos") === col("f.pos"))
+      .drop("f")
     val rebuilt = kept.groupBy("id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(

@@ -112,10 +112,16 @@ object PipelineQueries {
       TextAnalysis.tokenCount(col("text")) >= 8 &&
         TextAnalysis.langId(col("text")) === "en")
 
-    // 5. exact dedup on canonical url
-    val exactK = Dedup.exact(quality, "pid", "canon_url")
-      .select(col("keeper").as("pid"), col("n_dupes"))
-    quality.join(exactK, "pid")
+    // 5. exact dedup on canonical url — keeper + dupe count via ONE
+    // window over the url key (round 6: the Dedup.exact + join-back
+    // spelling duplicated the whole WARC-parse→admission→quality subtree
+    // under both join sides, so the cache fill parsed the crawl twice)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("canon_url")
+    quality
+      .withColumn("_keeper", min("pid").over(w))
+      .withColumn("n_dupes", count(lit(1)).over(w))
+      .where(col("pid") === col("_keeper"))
+      .drop("_keeper")
   }
 
   /** Stages 7-9 shared by q58 and q67: PII redaction (with pre-redaction
@@ -169,7 +175,7 @@ object PipelineQueries {
       // 6'. MinHash-LSH near-dup over the surviving docs' text
       val voc = Dedup.vocab(exactKept, "text")
       val tv = Dedup.docTokenVids(exactKept, "pid", "text", voc)
-      val edges = Dedup.lshComponentEdges(Dedup.minhash(tv, 8))
+      val edges = Dedup.lshComponentEdgesFromSigs(Dedup.minhashSigs(tv, 8))
       val cc = Dedup.connectedComponents(edges)
       val keepers = exactKept.select(col("pid"))
         .join(cc.withColumnRenamed("id", "pid"), Seq("pid"), "left")

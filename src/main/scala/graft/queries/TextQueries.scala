@@ -65,14 +65,19 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val voc = Dedup.vocab(docs, "text")
       val tv = Dedup.docTokenVids(docs, "doc_id", "text", voc)
-      Dedup.minhash(tv, 8)
-        .withColumn("band", (col("j") / 2).cast("int"))
-        .withColumn("slot", col("j") % 2)
-        .groupBy("id", "band")
-        .agg(min(when(col("slot") === 0, col("mh"))).as("m0"),
-          min(when(col("slot") === 1, col("mh"))).as("m1"))
-        .select(col("id").as("doc_id"), col("band"),
-          (col("m0") * Dedup.MersennePrime + col("m1")).as("bandkey"))
+      // band keys as a PROJECTION of the array signature (round 6): the
+      // round-5 spelling posexploded the signature and re-aggregated by
+      // (id, band) — a second exchange of the signature table that the
+      // array form never needed. Values identical: band b packs
+      // sig(2b), sig(2b+1) exactly as the min(when(slot…)) agg did.
+      Dedup.minhashSigs(tv, 8)
+        .select(col("id").as("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), (size(col("sig")) / 2).cast("int") - 1),
+            b => element_at(col("sig"), b * 2 + 1) * Dedup.MersennePrime +
+              element_at(col("sig"), b * 2 + 2)))
+            .as(Seq("band", "bandkey")))
+        .select(col("doc_id"), col("band").cast("int").as("band"), col("bandkey"))
         .orderBy("doc_id", "band")
     }),
 
@@ -114,8 +119,9 @@ object TextQueries {
       val voc = Dedup.vocab(docs, "text")
       val tv = Dedup.docTokenVids(docs, "doc_id", "text", voc)
       // star edges per bucket — connectivity-identical to the all-pairs
-      // candidates, linear instead of quadratic per band bucket
-      val edges = Dedup.lshComponentEdges(Dedup.minhash(tv, 8))
+      // candidates, linear instead of quadratic per band bucket; band
+      // keys projected from the array signature (no re-agg — round 6)
+      val edges = Dedup.lshComponentEdgesFromSigs(Dedup.minhashSigs(tv, 8))
       val cc = Dedup.connectedComponents(edges)
       docs.select(col("doc_id"))
         .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")

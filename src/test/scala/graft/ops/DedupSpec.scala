@@ -53,6 +53,16 @@ class DedupSpec extends SparkSpec {
     assert((cands -- planted).size <= 3, s"false positives: ${cands -- planted}")
   }
 
+  test("lshComponentEdgesFromSigs equals the exploded-layout edges (round 6)") {
+    val voc = Dedup.vocab(docs, "text")
+    val tv = Dedup.docTokenVids(docs, "doc_id", "text", voc)
+    val viaRows = Dedup.lshComponentEdges(Dedup.minhash(tv, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSigs = Dedup.lshComponentEdgesFromSigs(Dedup.minhashSigs(tv, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSigs == viaRows)
+  }
+
   test("ngramJaccard matches brute force") {
     val got = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 1000L)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
