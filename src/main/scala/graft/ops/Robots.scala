@@ -143,7 +143,15 @@ object Robots {
     * expressions mirroring [[toLike]], so the same rule rows evaluate
     * identically in Spark and in the DuckDB oracle (which must spell the
     * match `LIKE ... ESCAPE '\'` — DuckDB has no default escape char). */
-  def evaluate(urls: DataFrame, rules: DataFrame, idCol: String): DataFrame = {
+  /** `carryCols` (round 6): extra url-side columns carried through the
+    * admission aggregation via `first(...)` — every rule-joined copy of a
+    * url row carries the same values, so `first` is deterministic. Lets a
+    * caller that needs the full page row back avoid re-joining the result
+    * onto its own input (which duplicates the whole upstream subtree
+    * under both join sides — the round-5 crawl pipeline parsed its WARC
+    * source twice that way). */
+  def evaluate(urls: DataFrame, rules: DataFrame, idCol: String,
+               carryCols: Seq[String] = Nil): DataFrame = {
     // strip the trailing anchor, escape \ then % then _, THEN *->% — the
     // same order toLike applies, so inserted escapes are never re-escaped
     val translated = regexp_replace(
@@ -160,13 +168,14 @@ object Robots {
       .withColumn("plen", length(col("pattern")))
       .withColumn("lk", when(col("pattern").endsWith("$"), translated)
         .otherwise(concat(translated, lit("%"))))
+    val aggs = Seq(first(col("path")).as("path")) ++
+      carryCols.map(c => first(col(c)).as(c)) :+
+      max(when(col("m"),
+        struct(col("plen"), col("allow").cast("int").as("a")))).as("best")
     urls.join(r, Seq("host"), "left")
       .withColumn("m", expr("path like lk"))
       .groupBy(idCol)
-      .agg(
-        first(col("host")).as("host"), first(col("path")).as("path"),
-        max(when(col("m"),
-          struct(col("plen"), col("allow").cast("int").as("a")))).as("best"))
+      .agg(first(col("host")).as("host"), aggs: _*)
       .withColumn("allowed", coalesce(col("best.a") === 1, lit(true)))
       .drop("best")
   }

@@ -103,9 +103,15 @@ object PipelineQueries {
       Robots.parse("User-agent: *\nDisallow: /p/12*\n", "trainingbot")
         .map(r => (s"site$h.com", r.pattern, r.allow))
     }.toDF("host", "pattern", "allow")
-    val adm = Robots.evaluate(pages.select("pid", "host", "path"), rules, "pid")
-      .where(col("allowed")).select("pid")
-    val admitted = pages.join(adm, "pid")
+    // round 6: the page columns ride THROUGH the admission aggregation
+    // (first() per pid — deterministic, every rule-joined copy is the
+    // same page row) instead of re-joining the verdict onto `pages`,
+    // which duplicated the whole WARC-parse subtree under both join
+    // sides and parsed the crawl twice per cache fill
+    val admitted = Robots.evaluate(pages, rules, "pid",
+        carryCols = Seq("url", "text", "canon_url"))
+      .where(col("allowed"))
+      .select("pid", "url", "text", "canon_url", "host", "path")
 
     // 4. quality + language filters
     val quality = admitted.where(
@@ -150,11 +156,15 @@ object PipelineQueries {
       // (dedup key build, keeper join, redaction); persist the ~150-row
       // frame so the WARC-parse chain runs once, not per action
       val exactKept = crawlExactKept(s).persist()
-      // 6. near-dup collapse: digit-normalized text key
-      val nearK = Dedup.exact(
-        exactKept.withColumn("norm", regexp_replace(col("text"), "[0-9]", "")),
-        "pid", "norm").select(col("keeper").as("pid"))
-      finishCorpus(exactKept.join(nearK, "pid"))
+      // 6. near-dup collapse on the digit-normalized text key — keeper
+      // via one window (round 6: the Dedup.exact + join-back spelling
+      // cost an aggregate exchange + a join exchange for the same rows)
+      val wN = org.apache.spark.sql.expressions.Window.partitionBy("norm")
+      finishCorpus(exactKept
+        .withColumn("norm", regexp_replace(col("text"), "[0-9]", ""))
+        .withColumn("_keep", min("pid").over(wN))
+        .where(col("pid") === col("_keep"))
+        .drop("norm", "_keep"))
     }),
 
     // q67 — the composite with the PRODUCTION fuzzy arm: stage 6 is the
